@@ -21,5 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the big fused field/EC graphs are expensive for
+# XLA:CPU to compile; cache them across test runs (and across build rounds).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8

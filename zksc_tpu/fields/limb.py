@@ -61,6 +61,17 @@ class LimbField:
         self.n0 = (-pow(modulus, -1, 1 << W)) % (1 << W)
         self.p_np = int_to_limbs(modulus, n_limbs)
         self._p_list = [int(v) for v in self.p_np]
+        # Anti-diagonal indicator matrices mapping flattened partial products
+        # (i, j) -> column i+j (lo parts) / i+j+1 (hi parts). Schoolbook limb
+        # products become two int32 matmuls — few large ops instead of many
+        # small ones, which keeps both XLA compile time and the op count low.
+        L = n_limbs
+        E = np.zeros((2 * L + 1, L * L), dtype=np.int32)
+        for i in range(L):
+            for j in range(L):
+                E[i + j, i * L + j] = 1
+        self._E_lo = E
+        self._E_hi = np.roll(E, 1, axis=0)
 
     # ---------------- host conversions ----------------
 
@@ -182,28 +193,34 @@ class LimbField:
     def mont_mul(self, a, b):
         """Montgomery product: a*b*R^{-1} mod p.
 
-        Tensorized lazy-carry formulation: per-limb partial products are
-        accumulated into a single (2L+1, batch) array with slice-adds, with
-        carries deferred (every accumulator stays < 2^22, so uint32 never
-        overflows). This keeps the XLA graph ~10x smaller than a scalar CIOS
-        unroll — compile time matters as much as run time.
+        Formulation chosen for low XLA op count (compile time matters as much
+        as run time): the L^2 schoolbook partial products are one broadcasted
+        multiply, their anti-diagonal accumulation is two int32 matmuls
+        against constant indicator matrices (all values < 2^16, sums < 2^24,
+        so int32 accumulation is exact), and only the inherently sequential
+        Montgomery reduction is a per-limb loop with lazy carries (every
+        accumulator stays < 2^26 in uint32).
         """
         L = self.L
         batch = a.shape[1:]
-        p_arr = jnp.asarray(self.p_np).reshape((L,) + (1,) * len(batch))
-        T = jnp.zeros((2 * L + 1, *batch), dtype=jnp.uint32)
-        # ---- multiplication: T = a*b with lazy carries ----
-        for i in range(L):
-            prod = a[i][None] * b            # [L, batch], exact in uint32
-            T = T.at[i:i + L].add(prod & MASK)
-            T = T.at[i + 1:i + L + 1].add(prod >> W)
-        # ---- interleaved Montgomery reduction ----
+        nb = len(batch)
+        p_arr = jnp.asarray(self.p_np).reshape((L,) + (1,) * nb)
+        # ---- multiplication: T = a*b via outer product + indicator matmuls --
+        prod = a[:, None, ...] * b[None, :, ...]          # [L, L, batch] exact
+        lo = (prod & MASK).reshape(L * L, *batch).astype(jnp.int32)
+        hi = (prod >> W).reshape(L * L, *batch).astype(jnp.int32)
+        lo2 = jnp.tensordot(jnp.asarray(self._E_lo), lo, axes=1)
+        hi2 = jnp.tensordot(jnp.asarray(self._E_hi), hi, axes=1)
+        T = (lo2 + hi2).astype(jnp.uint32)                # [2L+1, batch] < 2^25
+        # ---- sequential Montgomery reduction with lazy carries ----
         for i in range(L):
             m = (T[i] * self.n0) & MASK      # T[i] low 16 bits are exact here
             mp = m[None] * p_arr             # [L, batch]
-            T = T.at[i:i + L].add(mp & MASK)
-            T = T.at[i + 1:i + L + 1].add(mp >> W)
-            T = T.at[i + 1].add(T[i] >> W)   # retire limb i (now ≡ 0 mod 2^16)
+            mp_lo = jnp.pad(mp & MASK, [(i, L + 1 - i)] + [(0, 0)] * nb)
+            mp_hi = jnp.pad(mp >> W, [(i + 1, L - i)] + [(0, 0)] * nb)
+            carry = jnp.pad(((T[i] + (mp[0] & MASK)) >> W)[None],
+                            [(i + 1, 2 * L - 1 - i)] + [(0, 0)] * nb)
+            T = T + mp_lo + mp_hi + carry    # retires limb i (≡ 0 mod 2^16)
         res, c = self._carry_seq(T[L:2 * L])
         out = self._cond_sub_p_ext([res[j] for j in range(L)], T[2 * L] + c)
         return jnp.stack(out)

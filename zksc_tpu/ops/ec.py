@@ -1,0 +1,355 @@
+"""Batched elliptic-curve ops and multi-scalar multiplication on TPU.
+
+Replaces the reference's Groth16 MSM hot loop (gnark-crypto asm Pippenger /
+snarkjs wasm — SURVEY.md §2.5 item 1) with vectorized JAX formulations:
+
+  - Points in Jacobian coordinates as limb arrays (see zksc_tpu.fields.limb),
+    identity encoded as Z == 0. Formulas are branch-free: all cases computed,
+    results selected with `where`, so everything maps onto fixed-shape VPU ops.
+  - Generic over the coordinate field via a small "field ops" adapter so the
+    same point formulas serve G1 (Fp) and G2 (Fp2 = Fp[i]/(i^2+1)).
+  - msm_double_and_add: baseline O(254) batched ladder (correctness anchor).
+  - Pippenger (windowed bucket method) lives in msm.py.
+
+Curve: BN254 y^2 = x^3 + 3 (a=0), G2 twist y^2 = x^3 + 3/(9+i).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.limb import Fp, LimbField
+
+
+class FpOps:
+    """Field-ops adapter over the base field (element = uint32[L, *batch])."""
+
+    def __init__(self, F: LimbField):
+        self.F = F
+
+    def mul(self, a, b): return self.F.mont_mul(a, b)
+    def add(self, a, b): return self.F.add(a, b)
+    def sub(self, a, b): return self.F.sub(a, b)
+    def neg(self, a): return self.F.neg(a)
+
+    def mul_many(self, pairs):
+        """Batch k independent products into ONE field multiply: point formulas
+        call this per dependency level, so the XLA graph has a handful of wide
+        multiply instances instead of ~15 narrow ones (compile time and VPU
+        utilization both improve)."""
+        A = jnp.stack([p[0] for p in pairs], axis=1)
+        B = jnp.stack([p[1] for p in pairs], axis=1)
+        R = self.F.mont_mul(A, B)
+        return [R[:, i] for i in range(len(pairs))]
+
+    def select(self, cond, a, b):
+        return jnp.where(cond[None], a, b)
+
+    def is_zero(self, a): return self.F.is_zero(a)
+
+    def zeros_like(self, a): return jnp.zeros_like(a)
+
+    def const(self, value: int, like):
+        return self.F.broadcast_const(value, like.shape[1:])
+
+
+class Fp2Ops:
+    """Fp2 = Fp[i]/(i^2+1); element = tuple (c0, c1) of base elements."""
+
+    def __init__(self, F: LimbField):
+        self.F = F
+
+    def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """k Fp2 Karatsuba products with a CONSTANT number of base-field
+        instances (1 add, 1 mul, 2 subs) regardless of k — the pre/post
+        adds and subs are stacked too, since XLA:CPU compile cost scales
+        superlinearly with instance count."""
+        F = self.F
+        k = len(pairs)
+        a0 = jnp.stack([a[0] for (a, b) in pairs], axis=1)
+        a1 = jnp.stack([a[1] for (a, b) in pairs], axis=1)
+        b0 = jnp.stack([b[0] for (a, b) in pairs], axis=1)
+        b1 = jnp.stack([b[1] for (a, b) in pairs], axis=1)
+        sums = F.add(jnp.concatenate([a0, b0], axis=1),
+                     jnp.concatenate([a1, b1], axis=1))
+        A = jnp.concatenate([a0, a1, sums[:, :k]], axis=1)
+        B = jnp.concatenate([b0, b1, sums[:, k:]], axis=1)
+        R = F.mont_mul(A, B)
+        t0, t1, t2 = R[:, :k], R[:, k:2 * k], R[:, 2 * k:]
+        d = F.sub(jnp.concatenate([t0, t2], axis=1),
+                  jnp.concatenate([t1, t0], axis=1))
+        c0, c1a = d[:, :k], d[:, k:]
+        c1 = F.sub(c1a, t1)
+        return [(c0[:, i], c1[:, i]) for i in range(k)]
+
+    def add(self, a, b):
+        r = self.F.add(jnp.stack(a, axis=1), jnp.stack(b, axis=1))
+        return (r[:, 0], r[:, 1])
+
+    def sub(self, a, b):
+        r = self.F.sub(jnp.stack(a, axis=1), jnp.stack(b, axis=1))
+        return (r[:, 0], r[:, 1])
+
+    def neg(self, a):
+        r = self.F.neg(jnp.stack(a, axis=1))
+        return (r[:, 0], r[:, 1])
+
+    def select(self, cond, a, b):
+        return (jnp.where(cond[None], a[0], b[0]), jnp.where(cond[None], a[1], b[1]))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.F.is_zero(a[0]), self.F.is_zero(a[1]))
+
+    def zeros_like(self, a):
+        return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
+
+    def const(self, value: int, like):
+        batch = like[0].shape[1:]
+        return (self.F.broadcast_const(value, batch), self.F.zeros(batch))
+
+
+class JacPoint(NamedTuple):
+    """Jacobian point; coordinates are field elements (arrays or tuples)."""
+    x: object
+    y: object
+    z: object
+
+
+def jac_identity_like(fops, coord):
+    one = fops.const(1, coord)
+    return JacPoint(one, one, fops.zeros_like(coord))
+
+
+def jac_double(fops, P: JacPoint) -> JacPoint:
+    """2P, a=0 curve. Complete for the identity (Z=0 -> Z3=0).
+    3 batched multiply levels."""
+    A, B, Z3 = fops.mul_many([(P.x, P.x), (P.y, P.y),
+                              (fops.add(P.y, P.y), P.z)])
+    xb = fops.add(P.x, B)
+    E = fops.add(fops.add(A, A), A)
+    C, t, F_ = fops.mul_many([(B, B), (xb, xb), (E, E)])
+    D2 = fops.sub(fops.sub(t, A), C)
+    D = fops.add(D2, D2)                      # 2((X+B)^2 - A - C)
+    X3 = fops.sub(F_, fops.add(D, D))
+    C2 = fops.add(C, C)
+    C4 = fops.add(C2, C2)
+    C8 = fops.add(C4, C4)
+    (Y3a,) = fops.mul_many([(E, fops.sub(D, X3))])
+    Y3 = fops.sub(Y3a, C8)
+    return JacPoint(X3, Y3, Z3)
+
+
+def jac_add(fops, P: JacPoint, Q: JacPoint) -> JacPoint:
+    """P + Q, complete: handles P=O, Q=O, P=Q, P=-Q via selects."""
+    Z1Z1, Z2Z2 = fops.mul_many([(P.z, P.z), (Q.z, Q.z)])
+    U1, U2, T1, T2 = fops.mul_many([(P.x, Z2Z2), (Q.x, Z1Z1),
+                                    (Q.z, Z2Z2), (P.z, Z1Z1)])
+    S1, S2 = fops.mul_many([(P.y, T1), (Q.y, T2)])
+    H = fops.sub(U2, U1)
+    r = fops.sub(S2, S1)
+    HH, rr, Z1Z2 = fops.mul_many([(H, H), (r, r), (P.z, Q.z)])
+    HHH, V, Z3 = fops.mul_many([(H, HH), (U1, HH), (Z1Z2, H)])
+    X3 = fops.sub(fops.sub(rr, HHH), fops.add(V, V))
+    Y3a, Y3b = fops.mul_many([(r, fops.sub(V, X3)), (S1, HHH)])
+    Y3 = fops.sub(Y3a, Y3b)
+    raw = JacPoint(X3, Y3, Z3)
+
+    p_inf = fops.is_zero(P.z)
+    q_inf = fops.is_zero(Q.z)
+    same = jnp.logical_and(fops.is_zero(H), fops.is_zero(r))
+    # neither infinite:
+    dbl = jac_double(fops, P)
+    sel = lambda c, a, b: JacPoint(fops.select(c, a.x, b.x),
+                                   fops.select(c, a.y, b.y),
+                                   fops.select(c, a.z, b.z))
+    res = sel(jnp.logical_and(same, jnp.logical_not(jnp.logical_or(p_inf, q_inf))),
+              dbl, raw)          # P == Q -> double (P=-Q leaves Z3=0 = identity)
+    res = sel(p_inf, Q, res)
+    res = sel(q_inf, P, res)
+    return res
+
+
+def affine_to_jac(fops, x, y, is_inf=None) -> JacPoint:
+    """Affine (x, y) mont-form -> Jacobian; (is_inf mask optional)."""
+    one = fops.const(1, x)
+    if is_inf is None:
+        is_inf = jnp.logical_and(fops.is_zero(x), fops.is_zero(y))
+    z = fops.select(is_inf, fops.zeros_like(one), one)
+    return JacPoint(x, y, z)
+
+
+def scalars_to_bits(F: LimbField, scalars_plain, n_bits: int):
+    """Non-Montgomery scalar limbs uint32[L, N] -> bits uint32[n_bits, N],
+    little-endian bit order."""
+    outs = []
+    for k in range(n_bits):
+        outs.append((scalars_plain[k // 16] >> (k % 16)) & 1)
+    return jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jac_add_jit(fops, P, Q):
+    return jac_add(fops, P, Q)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jac_dbl_jit(fops, P):
+    return jac_double(fops, P)
+
+
+def _msm_step(fops, acc: JacPoint, points: JacPoint, bits_k) -> JacPoint:
+    acc = jac_double(fops, acc)
+    summed = jac_add(fops, acc, points)
+    take = bits_k != 0
+    return JacPoint(fops.select(take, summed.x, acc.x),
+                    fops.select(take, summed.y, acc.y),
+                    fops.select(take, summed.z, acc.z))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _ladder_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
+    """Per-lane s_i * P_i for all lanes (no reduction): one fori_loop body."""
+    def body(k, acc):
+        return _msm_step(fops, acc, points, scalar_bits[n_bits - 1 - k])
+
+    acc0 = jac_identity_like(fops, points.x)
+    return jax.lax.fori_loop(0, n_bits, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
+    return jac_tree_reduce(fops, _ladder_fused(fops, points, scalar_bits, n_bits))
+
+
+def msm_double_and_add(fops, points: JacPoint, scalar_bits, n_bits: int,
+                       fused: bool | None = None) -> JacPoint:
+    """Baseline batched MSM: computes sum_i s_i * P_i.
+
+    points: JacPoint batched over N lanes; scalar_bits: uint32[n_bits, N]
+    (little-endian). Returns a single point (batch reduced to 1 lane).
+
+    fused=True compiles the whole ladder as one XLA program (one fori_loop
+    body) — best runtime, but XLA:CPU takes minutes to compile it, so tests on
+    the CPU mesh default to fused=False: a Python loop dispatching one
+    compiled step per bit (same kernels, per-step dispatch overhead).
+    """
+    if fused is None:
+        fused = jax.default_backend() != "cpu"
+    if fused:
+        return _msm_fused(fops, points, scalar_bits, n_bits)
+    # Unfused: one compiled jac_add + jac_double per (fops, width), reused for
+    # every ladder step AND the roll-based reduction — shape stability is what
+    # keeps XLA:CPU compile time bounded.
+    acc = jac_identity_like(fops, points.x)
+    for k in range(n_bits):
+        doubled = _jac_dbl_jit(fops, acc)
+        summed = _jac_add_jit(fops, doubled, points)
+        take = scalar_bits[n_bits - 1 - k] != 0
+        acc = JacPoint(fops.select(take, summed.x, doubled.x),
+                       fops.select(take, summed.y, doubled.y),
+                       fops.select(take, summed.z, doubled.z))
+    return _tree_reduce_rolled(fops, acc)
+
+
+def _tree_reduce_rolled(fops, pts: JacPoint) -> JacPoint:
+    """Fixed-width reduction: log2(N) rounds of `pts + roll(pts, -stride)`,
+    all at width N (single compiled jac_add). Lane 0 holds the total."""
+    def width(P):
+        leaf = P.x[0] if isinstance(P.x, tuple) else P.x
+        return leaf.shape[-1]
+
+    n = width(pts)
+    assert n & (n - 1) == 0
+    stride = n // 2
+    while stride >= 1:
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -stride, axis=-1), pts)
+        pts = _jac_add_jit(fops, pts, shifted)
+        stride //= 2
+    return jax.tree.map(lambda a: a[..., :1], pts)
+
+
+def jac_tree_reduce(fops, pts: JacPoint) -> JacPoint:
+    """Reduce a batch of points to one by pairwise addition (log2 N batched adds).
+    N must be a power of two (pad with identity)."""
+    def width(P):
+        leaf = P.x[0] if isinstance(P.x, tuple) else P.x
+        return leaf.shape[-1]
+
+    n = width(pts)
+    assert n & (n - 1) == 0, "pad batch to a power of two"
+    take = lambda t, sl: jax.tree.map(lambda a: a[..., sl], t)
+    while n > 1:
+        half = n // 2
+        pts = jac_add(fops, take(pts, slice(0, half)), take(pts, slice(half, n)))
+        n = half
+    return pts
+
+
+# host-side helpers --------------------------------------------------------
+
+def g1_points_to_device(F: LimbField, pts: list) -> JacPoint:
+    """List of host affine G1 points (int tuples / None) -> device JacPoint."""
+    xs, ys, zs = [], [], []
+    for p in pts:
+        if p is None:
+            xs.append(0); ys.append(1); zs.append(0)
+        else:
+            xs.append(p[0]); ys.append(p[1]); zs.append(1)
+    return JacPoint(F.to_device(xs), F.to_device(ys), F.to_device(zs))
+
+
+def g2_points_to_device(F: LimbField, pts: list) -> JacPoint:
+    xs0, xs1, ys0, ys1, zs0 = [], [], [], [], []
+    for p in pts:
+        if p is None:
+            xs0.append(0); xs1.append(0); ys0.append(1); ys1.append(0); zs0.append(0)
+        else:
+            xs0.append(p[0][0]); xs1.append(p[0][1])
+            ys0.append(p[1][0]); ys1.append(p[1][1]); zs0.append(1)
+    zeros = F.to_device([0] * len(pts))
+    return JacPoint((F.to_device(xs0), F.to_device(xs1)),
+                    (F.to_device(ys0), F.to_device(ys1)),
+                    (F.to_device(zs0), zeros))
+
+
+def g1_jac_to_host_affine(F: LimbField, pt: JacPoint, p_mod: int) -> list:
+    """Device Jacobian G1 -> host affine int tuples (None for identity)."""
+    xs = F.from_device(pt.x)
+    ys = F.from_device(pt.y)
+    zs = F.from_device(pt.z)
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+            continue
+        zi = pow(z, -1, p_mod)
+        zi2 = zi * zi % p_mod
+        out.append((x * zi2 % p_mod, y * zi2 * zi % p_mod))
+    return out
+
+
+def g2_jac_to_host_affine(F: LimbField, pt: JacPoint, p_mod: int) -> list:
+    x0 = F.from_device(pt.x[0]); x1 = F.from_device(pt.x[1])
+    y0 = F.from_device(pt.y[0]); y1 = F.from_device(pt.y[1])
+    z0 = F.from_device(pt.z[0]); z1 = F.from_device(pt.z[1])
+    from ..curve.bn254_host import f2_inv, f2_mul
+    out = []
+    for i in range(len(x0)):
+        if z0[i] == 0 and z1[i] == 0:
+            out.append(None)
+            continue
+        zi = f2_inv((z0[i], z1[i]))
+        zi2 = f2_mul(zi, zi)
+        out.append((f2_mul((x0[i], x1[i]), zi2),
+                    f2_mul((y0[i], y1[i]), f2_mul(zi2, zi))))
+    return out
+
+
+G1_OPS = FpOps(Fp)
+G2_OPS = Fp2Ops(Fp)
