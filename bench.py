@@ -1,0 +1,70 @@
+"""Benchmark driver: ChaCha20-chunk Groth16 proving throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline protocol (BASELINE.md): the reference publishes no numbers and its
+harnesses need node/go/rust toolchains absent here, so vs_baseline is measured
+against SNARKJS_CPU_BASELINE_PROOFS_PER_SEC — a conservative 1.0 proofs/sec
+for the 128-byte ChaCha20 chunk on CPU snarkjs (typical order of magnitude for
+~64K-constraint BN254 Groth16 in snarkjs; override via env
+ZKSC_BASELINE_PROOFS_PER_SEC when a measured number exists).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache_tpu" if jax.default_backend() != "cpu"
+                               else ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+SNARKJS_CPU_BASELINE = float(os.environ.get("ZKSC_BASELINE_PROOFS_PER_SEC", "1.0"))
+
+
+def main():
+    import secrets
+
+    from zksc_tpu import api
+
+    algorithm = "chacha20"
+    key = secrets.token_bytes(32)
+    iv = secrets.token_bytes(12)
+    data = secrets.token_bytes(128)
+
+    operator = api.get_operator(algorithm, "groth16")
+    # warmup: first proof pays compile + artifact generation/load
+    t0 = time.time()
+    wi = api.generate_zk_witness(algorithm, key, data, iv)
+    proof_data = operator.prove(wi)
+    warm = time.time() - t0
+    print(f"# warmup (artifacts+compile+prove): {warm:.1f}s", file=sys.stderr)
+
+    iters = int(os.environ.get("ZKSC_BENCH_ITERS", "5"))
+    t0 = time.time()
+    for i in range(iters):
+        wi = api.generate_zk_witness(algorithm, key, data, iv)
+        proof_data = operator.prove(wi)
+    dt = (time.time() - t0) / iters
+    proofs_per_sec = 1.0 / dt
+
+    # sanity: the last proof must verify
+    pub = api.get_public_signals(algorithm, data, iv, wi.plaintext)
+    assert operator.verify(pub, proof_data), "benchmark proof failed to verify"
+
+    print(json.dumps({
+        "metric": "chacha20_groth16_proofs_per_sec",
+        "value": round(proofs_per_sec, 4),
+        "unit": "proofs/s (128B chunk, BN254 Groth16, 1 chip)",
+        "vs_baseline": round(proofs_per_sec / SNARKJS_CPU_BASELINE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,13 +91,32 @@ class ProverContext:
         return Fr.to_mont(plain)                       # restore Montgomery
 
     def witness_to_device(self, witness: np.ndarray):
-        """Host witness ints [n_wires] -> (z_mont [L, m_pad], z_bits [254, m_pad])."""
+        """Host witness ints [n_wires] -> (z_mont [L, m_pad], z_bits, n_bits).
+
+        The wire-MSM ladder length adapts to the widest witness value: cipher
+        circuits keep every wire below 2^34 (bit wires and 33-bit pack sums),
+        so their A/B/C MSMs run 34-bit ladders instead of 254 — ~7.5x less
+        work. (The bound depends only on circuit structure, not secrets, so
+        this is not a timing side-channel.)"""
         vals = [int(v) % host.R for v in witness]
-        vals_pad = vals + [0] * (self.m_pad - len(vals))
-        z_mont = Fr.to_device(vals_pad)
-        z_plain = Fr.to_device(vals_pad, mont=False)
-        z_bits = ec.scalars_to_bits(Fr, z_plain, 254)
-        return z_mont, z_bits
+        raw_bits = max(max((v.bit_length() for v in vals), default=1), 1)
+        # bucketize so the jit cache stays small and widths are stable
+        n_bits = next(b for b in (40, 64, 128, 254) if raw_bits <= b)
+        if raw_bits <= 64:
+            # vectorized host conversion (the common cipher-circuit case);
+            # python-loop limb packing costs seconds per proof otherwise
+            arr = np.zeros(self.m_pad, dtype=np.uint64)
+            arr[: len(vals)] = vals
+            z_plain = jnp.asarray(np.stack(
+                [(arr >> (16 * k)).astype(np.uint32) & 0xFFFF if k < 4
+                 else np.zeros(self.m_pad, dtype=np.uint32)
+                 for k in range(Fr.L)]))
+        else:
+            z_plain = Fr.to_device(vals + [0] * (self.m_pad - len(vals)),
+                                   mont=False)
+        z_mont = Fr.to_mont(z_plain)
+        z_bits = ec.scalars_to_bits(Fr, z_plain, n_bits)
+        return z_mont, z_bits, n_bits
 
     def compute_h_bits(self, z_mont):
         """Quotient polynomial h = (A.z * B.z - C.z) / Z_H on the coset;
@@ -126,7 +145,7 @@ class ProverContext:
             rng = lambda: secrets.randbelow(host.R)
         r_blind, s_blind = rng(), rng()
         pk = self.pk
-        z_mont, z_bits = self.witness_to_device(witness)
+        z_mont, z_bits, nb = self.witness_to_device(witness)
         h_bits = self.compute_h_bits(z_mont)
         ell = pk.n_public + 1
         priv_bits = z_bits[:, ell:ell + self.c_pad]
@@ -134,10 +153,14 @@ class ProverContext:
             priv_bits = jnp.pad(priv_bits,
                                 ((0, 0), (0, self.c_pad - priv_bits.shape[1])))
 
-        a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, 254)
-        b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, 254)
-        b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, 254)
-        c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, 254)
+        a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
+        b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
+        # G2 runs unfused: the fused ladder's Fp2 body takes >10 min of XLA
+        # compile at production widths, while the per-step kernels compile in
+        # ~a minute and the dispatch overhead is negligible at 40-bit ladders.
+        b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb,
+                                       fused=False)
+        c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
         h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
 
         a_pt = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[0]

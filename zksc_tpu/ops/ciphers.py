@@ -105,16 +105,50 @@ def chacha20_keystream(key_bytes: jnp.ndarray, nonce_bytes: jnp.ndarray,
     return u32_words_to_bytes_le(ks)
 
 
+def _chacha20_block_np(key_words: np.ndarray, nonce_words: np.ndarray,
+                       counters: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of chacha20_block_words for host-side use (the API's
+    local decrypt is tiny, and paying a device compile for it is wasteful)."""
+    B = key_words.shape[0]
+    state0 = np.concatenate([
+        np.broadcast_to(CHACHA_CONSTS, (B, 4)), key_words,
+        counters[:, None].astype(np.uint32), nonce_words], axis=1)
+    xs = [state0[:, i].copy() for i in range(16)]
+
+    def rotl(x, n):
+        return ((x << np.uint32(n)) | (x >> np.uint32(32 - n))).astype(np.uint32)
+
+    with np.errstate(over="ignore"):
+        for _ in range(10):
+            for pattern in (_QR_COLS, _QR_DIAG):
+                for (ia, ib, ic, id_) in pattern:
+                    a, b, c, d = xs[ia], xs[ib], xs[ic], xs[id_]
+                    a = a + b; d = rotl(d ^ a, 16)
+                    c = c + d; b = rotl(b ^ c, 12)
+                    a = a + b; d = rotl(d ^ a, 8)
+                    c = c + d; b = rotl(b ^ c, 7)
+                    xs[ia], xs[ib], xs[ic], xs[id_] = a, b, c, d
+        out = [(x + state0[:, i]).astype(np.uint32) for i, x in enumerate(xs)]
+    return np.stack(out, axis=1)
+
+
 def chacha20_encrypt(key: bytes, nonce: bytes, counter: int, data: bytes) -> bytes:
     """Host-convenience CTR encrypt/decrypt of arbitrary-length data
-    (per-block counters counter, counter+1, ...)."""
+    (per-block counters counter, counter+1, ...). Pure numpy."""
     n_blocks = (len(data) + 63) // 64
     if n_blocks == 0:
         return b""
-    kb = jnp.broadcast_to(jnp.asarray(np.frombuffer(key, np.uint8)), (n_blocks, 32))
-    nb = jnp.broadcast_to(jnp.asarray(np.frombuffer(nonce, np.uint8)), (n_blocks, 12))
-    ctrs = jnp.asarray(np.arange(counter, counter + n_blocks, dtype=np.uint32))
-    ks = np.asarray(chacha20_keystream(kb, nb, ctrs)).reshape(-1)[: len(data)]
+    kw = np.frombuffer(key, np.uint8).reshape(8, 4)
+    kw = (kw[:, 0].astype(np.uint32) | (kw[:, 1].astype(np.uint32) << 8)
+          | (kw[:, 2].astype(np.uint32) << 16) | (kw[:, 3].astype(np.uint32) << 24))
+    nw = np.frombuffer(nonce, np.uint8).reshape(3, 4)
+    nw = (nw[:, 0].astype(np.uint32) | (nw[:, 1].astype(np.uint32) << 8)
+          | (nw[:, 2].astype(np.uint32) << 16) | (nw[:, 3].astype(np.uint32) << 24))
+    ctrs = np.arange(counter, counter + n_blocks, dtype=np.uint32)
+    ks_words = _chacha20_block_np(np.broadcast_to(kw, (n_blocks, 8)),
+                                  np.broadcast_to(nw, (n_blocks, 3)), ctrs)
+    ks = np.stack([(ks_words >> (8 * i)) & 0xFF for i in range(4)],
+                  axis=-1).astype(np.uint8).reshape(-1)[: len(data)]
     return (np.frombuffer(data, np.uint8) ^ ks).tobytes()
 
 
@@ -256,12 +290,43 @@ def aes_ctr_keystream(key: bytes, nonce_bytes: jnp.ndarray,
     return aes_encrypt_blocks(ivs, rks)
 
 
+def _aes_encrypt_blocks_np(blocks: np.ndarray, round_keys: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of aes_encrypt_blocks for host-side use."""
+    shift_idx = np.array([0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11])
+    st = blocks.astype(np.uint32)
+    rk = round_keys.astype(np.uint32)
+    n_rounds = rk.shape[0] - 1
+    st = st ^ rk[0]
+
+    def xt(x):
+        return ((x << 1) ^ np.where((x & 0x80) != 0, 0x1B, 0)) & 0xFF
+
+    for r in range(1, n_rounds + 1):
+        st = AES_SBOX[st].astype(np.uint32)
+        st = st[:, shift_idx]
+        if r != n_rounds:
+            cols = st.reshape(-1, 4, 4)
+            a0, a1, a2, a3 = cols[:, :, 0], cols[:, :, 1], cols[:, :, 2], cols[:, :, 3]
+            r0 = xt(a0) ^ (xt(a1) ^ a1) ^ a2 ^ a3
+            r1 = a0 ^ xt(a1) ^ (xt(a2) ^ a2) ^ a3
+            r2 = a0 ^ a1 ^ xt(a2) ^ (xt(a3) ^ a3)
+            r3 = (xt(a0) ^ a0) ^ a1 ^ a2 ^ xt(a3)
+            st = np.stack([r0, r1, r2, r3], axis=2).reshape(-1, 16)
+        st = st ^ rk[r]
+    return st.astype(np.uint8)
+
+
 def aes_ctr_encrypt(key: bytes, nonce: bytes, counter: int, data: bytes) -> bytes:
-    """Host-convenience AES-CTR over arbitrary-length data."""
+    """Host-convenience AES-CTR over arbitrary-length data. Pure numpy."""
     n_blocks = (len(data) + 15) // 16
     if n_blocks == 0:
         return b""
-    nb = jnp.broadcast_to(jnp.asarray(np.frombuffer(nonce, np.uint8)), (n_blocks, 12))
-    ctrs = jnp.asarray(np.arange(counter, counter + n_blocks, dtype=np.uint32))
-    ks = np.asarray(aes_ctr_keystream(key, nb, ctrs)).reshape(-1)[: len(data)]
+    rks = aes_expand_key(np.frombuffer(key, np.uint8))
+    ctrs = np.arange(counter, counter + n_blocks, dtype=np.uint32)
+    ivs = np.concatenate([
+        np.broadcast_to(np.frombuffer(nonce, np.uint8), (n_blocks, 12)),
+        np.stack([(ctrs >> 24) & 0xFF, (ctrs >> 16) & 0xFF,
+                  (ctrs >> 8) & 0xFF, ctrs & 0xFF], axis=1).astype(np.uint8),
+    ], axis=1)
+    ks = _aes_encrypt_blocks_np(ivs, rks).reshape(-1)[: len(data)]
     return (np.frombuffer(data, np.uint8) ^ ks).tobytes()

@@ -184,6 +184,7 @@ def affine_to_jac(fops, x, y, is_inf=None) -> JacPoint:
     return JacPoint(x, y, z)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def scalars_to_bits(F: LimbField, scalars_plain, n_bits: int):
     """Non-Montgomery scalar limbs uint32[L, N] -> bits uint32[n_bits, N],
     little-endian bit order."""
@@ -222,9 +223,28 @@ def _ladder_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
     return jax.lax.fori_loop(0, n_bits, body, acc0)
 
 
+def _tree_reduce_fori(fops, pts: JacPoint) -> JacPoint:
+    """In-jit fixed-width reduction: fori_loop over log2(N) rounds of
+    `pts + roll(pts, -stride)` — ONE jac_add instance in the whole graph."""
+    leaf = pts.x[0] if isinstance(pts.x, tuple) else pts.x
+    n = leaf.shape[-1]
+    assert n & (n - 1) == 0
+    rounds = n.bit_length() - 1
+    if rounds == 0:
+        return pts
+
+    def body(k, cur):
+        stride = n >> (k + 1)
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -stride, axis=-1), cur)
+        return jac_add(fops, cur, shifted)
+
+    out = jax.lax.fori_loop(0, rounds, body, pts)
+    return jax.tree.map(lambda a: a[..., :1], out)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _msm_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
-    return jac_tree_reduce(fops, _ladder_fused(fops, points, scalar_bits, n_bits))
+    return _tree_reduce_fori(fops, _ladder_fused(fops, points, scalar_bits, n_bits))
 
 
 def msm_double_and_add(fops, points: JacPoint, scalar_bits, n_bits: int,
