@@ -141,6 +141,22 @@ def generate_proof(algorithm: str, key: bytes, ciphertext: bytes, iv: bytes,
                          data_len=witness_input.data_len)
 
 
+def generate_proofs(algorithm: str, requests: list, engine: str = "groth16") -> list:
+    """Batch variant of generate_proof. requests: list of dicts with keys
+    {key, ciphertext, iv, offset_bytes?}; proves all chunks in one device
+    pass (mirrors the reference's batch-of-witness parallel proving)."""
+    wis = [generate_zk_witness(algorithm, r["key"], r["ciphertext"], r["iv"],
+                               r.get("offset_bytes", 0)) for r in requests]
+    operator = get_operator(algorithm, engine)
+    if hasattr(operator, "prove_batch"):
+        datas = operator.prove_batch(wis)
+    else:
+        datas = [operator.prove(wi) for wi in wis]
+    return [ProofEnvelope(algorithm=algorithm, proof_data=d,
+                          plaintext=wi.plaintext, data_len=wi.data_len)
+            for d, wi in zip(datas, wis)]
+
+
 def verify_proof(proof: ProofEnvelope, ciphertext: bytes, iv: bytes,
                  offset_bytes: int = 0, engine: str = "groth16") -> bool:
     """Verify a proof envelope against public data (mirror js/src/zk.ts:44)."""

@@ -79,7 +79,7 @@ class LimbField:
         """Python ints -> (L, n) uint32 device array (Montgomery form by default)."""
         if isinstance(values, int):
             values = [values]
-        vals = [(v % self.p) for v in values]
+        vals = [(int(v) % self.p) for v in values]   # int(): accept np ints
         if mont:
             vals = [(v << (W * self.L)) % self.p for v in vals]
         arr = np.zeros((self.L, len(vals)), dtype=np.uint32)
@@ -108,10 +108,10 @@ class LimbField:
         if mont:
             v = (v << (W * self.L)) % self.p
         limbs = int_to_limbs(v, self.L)
-        out = jnp.broadcast_to(
-            jnp.asarray(limbs).reshape((self.L,) + (1,) * len(batch)), (self.L, *batch)
-        )
-        return out
+        # built from scalar constants (not a captured array) so the same code
+        # traces inside Pallas kernels
+        return jnp.stack([jnp.full(batch, int(x), dtype=jnp.uint32)
+                          for x in limbs])
 
     # ---------------- core arithmetic (device, vectorized) ----------------
 
@@ -193,26 +193,50 @@ class LimbField:
     def mont_mul(self, a, b):
         """Montgomery product: a*b*R^{-1} mod p.
 
-        Formulation chosen for low XLA op count (compile time matters as much
-        as run time): the L^2 schoolbook partial products are one broadcasted
-        multiply, their anti-diagonal accumulation is two int32 matmuls
-        against constant indicator matrices (all values < 2^16, sums < 2^24,
-        so int32 accumulation is exact), and only the inherently sequential
-        Montgomery reduction is a per-limb loop with lazy carries (every
-        accumulator stays < 2^26 in uint32).
+        Two formulations with identical results, chosen by backend at trace
+        time:
+          - CPU: partial products accumulated via two int32 indicator matmuls
+            — few ops, so XLA:CPU's superlinear compile time stays bounded
+            (LLVM chokes on wide elementwise graphs).
+          - TPU: shifted pad-adds — ~11x less arithmetic per lane than the
+            matmul form (the indicator matmul wastes 8448 MACs/lane), and the
+            TPU compiler handles the larger op count fine.
         """
+        if jax.default_backend() == "cpu":
+            T = self._mul_phase_mm(a, b)
+        else:
+            T = self._mul_phase_pad(a, b)
+        return self._mont_reduce_phase(a.shape[1:], T)
+
+    def _mul_phase_mm(self, a, b):
         L = self.L
         batch = a.shape[1:]
-        nb = len(batch)
-        p_arr = jnp.asarray(self.p_np).reshape((L,) + (1,) * nb)
-        # ---- multiplication: T = a*b via outer product + indicator matmuls --
         prod = a[:, None, ...] * b[None, :, ...]          # [L, L, batch] exact
         lo = (prod & MASK).reshape(L * L, *batch).astype(jnp.int32)
         hi = (prod >> W).reshape(L * L, *batch).astype(jnp.int32)
         lo2 = jnp.tensordot(jnp.asarray(self._E_lo), lo, axes=1)
         hi2 = jnp.tensordot(jnp.asarray(self._E_hi), hi, axes=1)
-        T = (lo2 + hi2).astype(jnp.uint32)                # [2L+1, batch] < 2^25
-        # ---- sequential Montgomery reduction with lazy carries ----
+        return (lo2 + hi2).astype(jnp.uint32)             # [2L+1, batch] < 2^25
+
+    def _mul_phase_pad(self, a, b):
+        L = self.L
+        batch = a.shape[1:]
+        nb = len(batch)
+        T = jnp.zeros((2 * L + 1, *batch), dtype=jnp.uint32)
+        for i in range(L):
+            prod = a[i][None] * b                         # [L, batch] exact
+            T = T + jnp.pad(prod & MASK, [(i, L + 1 - i)] + [(0, 0)] * nb) \
+                  + jnp.pad(prod >> W, [(i + 1, L - i)] + [(0, 0)] * nb)
+        return T                                          # limbs < 2^21
+
+    def _mont_reduce_phase(self, batch, T):
+        """Sequential Montgomery reduction with lazy carries (limbs < 2^26)."""
+        L = self.L
+        nb = len(batch)
+        # full-shape constants: Mosaic can't broadcast across sublane+lane at
+        # once, and XLA folds these anyway
+        p_arr = jnp.stack([jnp.full(batch, int(v), dtype=jnp.uint32)
+                           for v in self.p_np])
         for i in range(L):
             m = (T[i] * self.n0) & MASK      # T[i] low 16 bits are exact here
             mp = m[None] * p_arr             # [L, batch]

@@ -20,19 +20,17 @@ ARTIFACT_VERSION = 1
 
 
 def _jac_to_np(pt: JacPoint, g2: bool) -> dict:
-    if g2:
-        return {
-            "x0": np.asarray(pt.x[0]), "x1": np.asarray(pt.x[1]),
-            "y0": np.asarray(pt.y[0]), "y1": np.asarray(pt.y[1]),
-            "z0": np.asarray(pt.z[0]), "z1": np.asarray(pt.z[1]),
-        }
+    # G2 coords use the folded [L, 2N] layout (ops.ec.Fp2Ops) — same keys as G1
     return {"x": np.asarray(pt.x), "y": np.asarray(pt.y), "z": np.asarray(pt.z)}
 
 
 def _jac_from_np(d: dict, prefix: str, g2: bool) -> JacPoint:
+    if g2 and (prefix + "x0") in d:
+        # legacy v1 format: per-component arrays -> fold into [L, 2N]
+        g = lambda k: np.asarray(d[prefix + k])
+        fold = lambda c0, c1: jnp.asarray(np.concatenate([g(c0), g(c1)], axis=-1))
+        return JacPoint(fold("x0", "x1"), fold("y0", "y1"), fold("z0", "z1"))
     g = lambda k: jnp.asarray(d[prefix + k])
-    if g2:
-        return JacPoint((g("x0"), g("x1")), (g("y0"), g("y1")), (g("z0"), g("z1")))
     return JacPoint(g("x"), g("y"), g("z"))
 
 

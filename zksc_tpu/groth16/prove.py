@@ -11,6 +11,7 @@ reference call stacks in SURVEY.md §3.1-3.2; designed TPU-first):
 """
 from __future__ import annotations
 
+import functools
 import secrets
 from dataclasses import dataclass
 
@@ -90,6 +91,25 @@ class ProverContext:
         plain = Fr.mont_reduce_wide(norm)              # drops one R factor
         return Fr.to_mont(plain)                       # restore Montgomery
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _h_pipeline(self, z_mont, mats):
+        """Entire quotient computation as ONE compiled program: per-dispatch
+        latency on the remote TPU runtime is ~15-30 ms, so every eager-level
+        call boundary in the hot path costs more than the math."""
+        az = self._matvec(mats[0], z_mont)
+        bz = self._matvec(mats[1], z_mont)
+        cz = self._matvec(mats[2], z_mont)
+        ntt = self.ntt
+        a_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(az))
+        b_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(bz))
+        c_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(cz))
+        num = Fr.sub(Fr.mont_mul(a_cs, b_cs), c_cs)
+        zinv = Fr.broadcast_const(pow(ntt.z_coset_int, -1, host.R), (ntt.n,))
+        h_cs = Fr.mont_mul(num, zinv)
+        h_br = ntt.coeffs_br_from_coset_evals(h_cs)
+        h_plain = Fr.from_mont(h_br)
+        return ec.scalars_to_bits(Fr, h_plain, 254)
+
     def witness_to_device(self, witness: np.ndarray):
         """Host witness ints [n_wires] -> (z_mont [L, m_pad], z_bits, n_bits).
 
@@ -122,62 +142,120 @@ class ProverContext:
         """Quotient polynomial h = (A.z * B.z - C.z) / Z_H on the coset;
         returns scalar bits [254, domain_n] in bit-reversed coefficient order
         (matching the bit-reversed h_query layout)."""
-        az = self._matvec(self._mats[0], z_mont)
-        bz = self._matvec(self._mats[1], z_mont)
-        cz = self._matvec(self._mats[2], z_mont)
+        return self._h_pipeline(z_mont, self._mats)
+
+    def prove(self, witness: np.ndarray, rng=None) -> Proof:
+        """witness: full wire-value vector [n_wires] (ints)."""
+        return self.prove_batch([witness], rng)[0]
+
+    def prove_batch(self, witnesses: list, rng=None) -> list:
+        """Prove k independent witnesses in one pass: the MSM ladders run with
+        a proof axis in the lane batch, so the per-step fixed costs amortize
+        (mirrors the reference's batch-of-chunks parallel proving,
+        js/src/tests/benchmark.ts:30-35 — the scale-out unit is per-chunk)."""
+        if rng is None:
+            rng = lambda: secrets.randbelow(host.R)
+        pk = self.pk
+        k = len(witnesses)
+        z_mont, z_bits, nb = self._witnesses_to_device(witnesses)
+        h_bits = self.compute_h_bits_batch(z_mont)      # [254, k, n]
+        ell = pk.n_public + 1
+        priv_bits = z_bits[:, :, ell:ell + self.c_pad]
+        if priv_bits.shape[2] < self.c_pad:
+            priv_bits = jnp.pad(
+                priv_bits, ((0, 0), (0, 0),
+                            (0, self.c_pad - priv_bits.shape[2])))
+
+        a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
+        b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
+        b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb)
+        c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
+        h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
+
+        a_pts = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[:k]
+        b1_pts = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[:k]
+        b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
+        c_pts = ec.g1_jac_to_host_affine(Fp, c_msm, host.P)[:k]
+        h_pts = ec.g1_jac_to_host_affine(Fp, h_msm, host.P)[:k]
+
+        proofs = []
+        g = host
+        for j in range(k):
+            r_blind, s_blind = rng(), rng()
+            A = g.g1_add(g.g1_add(pk.alpha_g1, a_pts[j]),
+                         g.g1_mul(pk.delta_g1, r_blind))
+            B = g.g2_add(g.g2_add(pk.beta_g2, b2_pts[j]),
+                         g.g2_mul(pk.delta_g2, s_blind))
+            B1 = g.g1_add(g.g1_add(pk.beta_g1, b1_pts[j]),
+                          g.g1_mul(pk.delta_g1, s_blind))
+            C = g.g1_add(g.g1_add(c_pts[j], h_pts[j]),
+                         g.g1_add(g.g1_mul(A, s_blind),
+                                  g.g1_add(g.g1_mul(B1, r_blind),
+                                           g.g1_mul(pk.delta_g1,
+                                                    (-r_blind * s_blind) % host.R))))
+            proofs.append(Proof(a=A, b=B, c=C))
+        return proofs
+
+    def _witnesses_to_device(self, witnesses: list):
+        """[k] witness vectors -> (z_mont [L, k, m_pad], z_bits [nb, k, m_pad],
+        n_bits)."""
+        k = len(witnesses)
+        raw_bits = 1
+        arr = np.zeros((k, self.m_pad), dtype=np.uint64)
+        big_vals = None
+        for j, wit in enumerate(witnesses):
+            vals = [int(v) % host.R for v in wit]
+            rb = max((v.bit_length() for v in vals), default=1)
+            raw_bits = max(raw_bits, rb, 1)
+            if rb <= 64:
+                arr[j, : len(vals)] = vals
+            else:
+                if big_vals is None:
+                    big_vals = {}
+                big_vals[j] = vals
+        n_bits = next(b for b in (40, 64, 128, 254) if raw_bits <= b)
+        if big_vals is None:
+            z_plain = jnp.asarray(np.stack(
+                [(arr >> (16 * kk)).astype(np.uint32) & 0xFFFF if kk < 4
+                 else np.zeros((k, self.m_pad), dtype=np.uint32)
+                 for kk in range(Fr.L)]))
+        else:
+            cols = []
+            for j in range(k):
+                vals = big_vals.get(j)
+                if vals is None:
+                    vals = [int(v) for v in arr[j]]
+                else:
+                    vals = vals + [0] * (self.m_pad - len(vals))
+                cols.append(np.asarray(Fr.to_device(vals, mont=False)))
+            z_plain = jnp.asarray(np.stack(cols, axis=1))
+        z_mont = Fr.to_mont(z_plain)
+        z_bits = ec.scalars_to_bits(Fr, z_plain, n_bits)
+        return z_mont, z_bits, n_bits
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _h_pipeline_batch(self, z_mont, mats):
+        """Batched quotient: z_mont [L, k, m_pad] -> h bits [254, k, n]."""
+        k = z_mont.shape[1]
+        outs = []
+        for j in range(k):
+            outs.append(self._h_core(z_mont[:, j, :], mats))
+        h = jnp.stack(outs, axis=1)                     # [L, k, n] plain
+        return ec.scalars_to_bits(Fr, h, 254)
+
+    def _h_core(self, z_mont_1, mats):
+        az = self._matvec(mats[0], z_mont_1)
+        bz = self._matvec(mats[1], z_mont_1)
+        cz = self._matvec(mats[2], z_mont_1)
         ntt = self.ntt
-        a_br = ntt.dif_inverse(az)
-        b_br = ntt.dif_inverse(bz)
-        c_br = ntt.dif_inverse(cz)
-        a_cs = ntt.coset_evals_from_coeffs_br(a_br)
-        b_cs = ntt.coset_evals_from_coeffs_br(b_br)
-        c_cs = ntt.coset_evals_from_coeffs_br(c_br)
+        a_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(az))
+        b_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(bz))
+        c_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(cz))
         num = Fr.sub(Fr.mont_mul(a_cs, b_cs), c_cs)
         zinv = Fr.broadcast_const(pow(ntt.z_coset_int, -1, host.R), (ntt.n,))
         h_cs = Fr.mont_mul(num, zinv)
         h_br = ntt.coeffs_br_from_coset_evals(h_cs)
-        h_plain = Fr.from_mont(h_br)
-        return ec.scalars_to_bits(Fr, h_plain, 254)
+        return Fr.from_mont(h_br)
 
-    def prove(self, witness: np.ndarray, rng=None) -> Proof:
-        """witness: full wire-value vector [n_wires] (ints)."""
-        if rng is None:
-            rng = lambda: secrets.randbelow(host.R)
-        r_blind, s_blind = rng(), rng()
-        pk = self.pk
-        z_mont, z_bits, nb = self.witness_to_device(witness)
-        h_bits = self.compute_h_bits(z_mont)
-        ell = pk.n_public + 1
-        priv_bits = z_bits[:, ell:ell + self.c_pad]
-        if priv_bits.shape[1] < self.c_pad:
-            priv_bits = jnp.pad(priv_bits,
-                                ((0, 0), (0, self.c_pad - priv_bits.shape[1])))
-
-        a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
-        b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
-        # G2 runs unfused: the fused ladder's Fp2 body takes >10 min of XLA
-        # compile at production widths, while the per-step kernels compile in
-        # ~a minute and the dispatch overhead is negligible at 40-bit ladders.
-        b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb,
-                                       fused=False)
-        c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
-        h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
-
-        a_pt = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[0]
-        b1_pt = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[0]
-        b2_pt = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[0]
-        c_pt = ec.g1_jac_to_host_affine(Fp, c_msm, host.P)[0]
-        h_pt = ec.g1_jac_to_host_affine(Fp, h_msm, host.P)[0]
-
-        # final combine (host; constant #ops)
-        g = host
-        A = g.g1_add(g.g1_add(pk.alpha_g1, a_pt), g.g1_mul(pk.delta_g1, r_blind))
-        B = g.g2_add(g.g2_add(pk.beta_g2, b2_pt),
-                     g.g2_mul(pk.delta_g2, s_blind))
-        B1 = g.g1_add(g.g1_add(pk.beta_g1, b1_pt), g.g1_mul(pk.delta_g1, s_blind))
-        C = g.g1_add(g.g1_add(c_pt, h_pt),
-                     g.g1_add(g.g1_mul(A, s_blind),
-                              g.g1_add(g.g1_mul(B1, r_blind),
-                                       g.g1_mul(pk.delta_g1,
-                                                (-r_blind * s_blind) % host.R))))
-        return Proof(a=A, b=B, c=C)
+    def compute_h_bits_batch(self, z_mont):
+        return self._h_pipeline_batch(z_mont, self._mats)

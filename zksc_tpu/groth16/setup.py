@@ -76,18 +76,15 @@ def _batched_fixed_base_g2(scalars: list, base) -> list:
 
 
 def _ladder(fops, points, bits, n_bits: int = 254):
-    """Per-lane double-and-add (the MSM ladder without the final reduction)."""
+    """Per-lane double-and-add (the MSM ladder without the final reduction).
+    Same fuse policy as ops.ec.msm_double_and_add: G1 fuses on TPU; G2 and
+    the CPU mesh run one jitted step per bit."""
     import jax
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and not isinstance(fops, ec.Fp2Ops):
         return ec._ladder_fused(fops, points, bits, n_bits)
-    acc = ec.jac_identity_like(fops, points.x)
+    acc = ec.jac_identity_batch(fops, tuple(bits.shape[1:]))
     for k in range(n_bits):
-        doubled = ec._jac_dbl_jit(fops, acc)
-        summed = ec._jac_add_jit(fops, doubled, points)
-        take = bits[n_bits - 1 - k] != 0
-        acc = ec.JacPoint(fops.select(take, summed.x, doubled.x),
-                          fops.select(take, summed.y, doubled.y),
-                          fops.select(take, summed.z, doubled.z))
+        acc = ec._msm_step_jit(fops, acc, points, bits[n_bits - 1 - k])
     return acc
 
 

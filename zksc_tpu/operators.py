@@ -107,13 +107,22 @@ class Groth16Operator:
         return self._vk
 
     def prove(self, wi: ZKProofInput) -> dict:
+        return self.prove_batch([wi])[0]
+
+    def prove_batch(self, wis: list) -> list:
+        """Prove several chunks in one device pass (the scale-out unit is the
+        independent per-chunk proof, as in the reference's parallel bench)."""
         self._ensure_keys()
-        witness = self.spec.build_witness(wi)
-        if not check_witness(self.spec.cs, witness[:, None]):
-            raise ValueError("witness does not satisfy the circuit "
-                             "(wrong key or corrupted inputs?)")
-        proof = self._ctx.prove(witness)
-        return proof.to_json_dict()
+        check = os.environ.get("ZKSC_CHECK_WITNESS", "0") == "1"
+        witnesses = []
+        for wi in wis:
+            witness = self.spec.build_witness(wi)
+            if check and not check_witness(self.spec.cs, witness[:, None]):
+                raise ValueError("witness does not satisfy the circuit "
+                                 "(wrong key or corrupted inputs?)")
+            witnesses.append(witness)
+        proofs = self._ctx.prove_batch(witnesses)
+        return [p.to_json_dict() for p in proofs]
 
     def verify(self, public_bits: list, proof_data: dict) -> bool:
         from .groth16 import verify as g16_verify

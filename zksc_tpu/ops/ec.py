@@ -55,63 +55,108 @@ class FpOps:
     def const(self, value: int, like):
         return self.F.broadcast_const(value, like.shape[1:])
 
+    def tile_lanes(self, a, k: int):
+        return jnp.tile(a, (1, k))
+
+    def lane_width(self, a) -> int:
+        return a.shape[-1]
+
 
 class Fp2Ops:
-    """Fp2 = Fp[i]/(i^2+1); element = tuple (c0, c1) of base elements."""
+    """Fp2 = Fp[i]/(i^2+1); element = ONE array [L, 2N]: c0 in the first N
+    lanes, c1 in the last N.
+
+    Folding the component axis into the lane axis keeps every op a full-width
+    VPU op — the earlier (c0, c1)-tuple layout produced [L, 2, N]-shaped
+    intermediates whose sublane dim of 2 wasted 4x of each vector register,
+    and stack/unstack copies broke fusion (measured ~3x slower point ops)."""
 
     def __init__(self, F: LimbField):
         self.F = F
 
+    @staticmethod
+    def _halves(a):
+        n = a.shape[-1] // 2
+        return a[..., :n], a[..., n:]
+
     def mul(self, a, b):
-        return self.mul_many([(a, b)])[0]
+        F = self.F
+        n = a.shape[-1] // 2
+        a0, a1 = self._halves(a)
+        b0, b1 = self._halves(b)
+        sums = F.add(jnp.concatenate([a0, b0], axis=-1),
+                     jnp.concatenate([a1, b1], axis=-1))
+        A = jnp.concatenate([a, sums[..., :n]], axis=-1)     # [L, 3N]
+        B = jnp.concatenate([b, sums[..., n:]], axis=-1)
+        R = F.mont_mul(A, B)
+        t0, t1, t2 = R[..., :n], R[..., n:2 * n], R[..., 2 * n:]
+        d = F.sub(jnp.concatenate([t0, t2], axis=-1),
+                  jnp.concatenate([t1, t0], axis=-1))
+        c1 = F.sub(d[..., n:], t1)
+        return jnp.concatenate([d[..., :n], c1], axis=-1)
 
     def mul_many(self, pairs):
-        """k Fp2 Karatsuba products with a CONSTANT number of base-field
-        instances (1 add, 1 mul, 2 subs) regardless of k — the pre/post
-        adds and subs are stacked too, since XLA:CPU compile cost scales
-        superlinearly with instance count."""
+        """k Fp2 products as one width-3kN base multiply (lane-concatenated)."""
+        if len(pairs) == 1:
+            return [self.mul(*pairs[0])]
         F = self.F
         k = len(pairs)
-        a0 = jnp.stack([a[0] for (a, b) in pairs], axis=1)
-        a1 = jnp.stack([a[1] for (a, b) in pairs], axis=1)
-        b0 = jnp.stack([b[0] for (a, b) in pairs], axis=1)
-        b1 = jnp.stack([b[1] for (a, b) in pairs], axis=1)
-        sums = F.add(jnp.concatenate([a0, b0], axis=1),
-                     jnp.concatenate([a1, b1], axis=1))
-        A = jnp.concatenate([a0, a1, sums[:, :k]], axis=1)
-        B = jnp.concatenate([b0, b1, sums[:, k:]], axis=1)
+        n = pairs[0][0].shape[-1] // 2
+        a0 = jnp.concatenate([a[..., :n] for (a, b) in pairs], axis=-1)
+        a1 = jnp.concatenate([a[..., n:] for (a, b) in pairs], axis=-1)
+        b0 = jnp.concatenate([b[..., :n] for (a, b) in pairs], axis=-1)
+        b1 = jnp.concatenate([b[..., n:] for (a, b) in pairs], axis=-1)
+        m = k * n
+        sums = F.add(jnp.concatenate([a0, b0], axis=-1),
+                     jnp.concatenate([a1, b1], axis=-1))
+        A = jnp.concatenate([a0, a1, sums[..., :m]], axis=-1)
+        B = jnp.concatenate([b0, b1, sums[..., m:]], axis=-1)
         R = F.mont_mul(A, B)
-        t0, t1, t2 = R[:, :k], R[:, k:2 * k], R[:, 2 * k:]
-        d = F.sub(jnp.concatenate([t0, t2], axis=1),
-                  jnp.concatenate([t1, t0], axis=1))
-        c0, c1a = d[:, :k], d[:, k:]
-        c1 = F.sub(c1a, t1)
-        return [(c0[:, i], c1[:, i]) for i in range(k)]
+        t0, t1, t2 = R[..., :m], R[..., m:2 * m], R[..., 2 * m:]
+        d = F.sub(jnp.concatenate([t0, t2], axis=-1),
+                  jnp.concatenate([t1, t0], axis=-1))
+        c0, c1 = d[..., :m], F.sub(d[..., m:], t1)
+        return [jnp.concatenate([c0[..., i * n:(i + 1) * n],
+                                 c1[..., i * n:(i + 1) * n]], axis=-1)
+                for i in range(k)]
 
     def add(self, a, b):
-        r = self.F.add(jnp.stack(a, axis=1), jnp.stack(b, axis=1))
-        return (r[:, 0], r[:, 1])
+        return self.F.add(a, b)
 
     def sub(self, a, b):
-        r = self.F.sub(jnp.stack(a, axis=1), jnp.stack(b, axis=1))
-        return (r[:, 0], r[:, 1])
+        return self.F.sub(a, b)
 
     def neg(self, a):
-        r = self.F.neg(jnp.stack(a, axis=1))
-        return (r[:, 0], r[:, 1])
+        return self.F.neg(a)
 
     def select(self, cond, a, b):
-        return (jnp.where(cond[None], a[0], b[0]), jnp.where(cond[None], a[1], b[1]))
+        if cond.shape[-1] * 2 == a.shape[-1]:
+            cond = jnp.concatenate([cond, cond], axis=-1)
+        return jnp.where(cond[None], a, b)
 
     def is_zero(self, a):
-        return jnp.logical_and(self.F.is_zero(a[0]), self.F.is_zero(a[1]))
+        z = self.F.is_zero(a)                  # [2N]
+        n = z.shape[-1] // 2
+        return jnp.logical_and(z[..., :n], z[..., n:])
 
     def zeros_like(self, a):
-        return (jnp.zeros_like(a[0]), jnp.zeros_like(a[1]))
+        return jnp.zeros_like(a)
 
     def const(self, value: int, like):
-        batch = like[0].shape[1:]
-        return (self.F.broadcast_const(value, batch), self.F.zeros(batch))
+        batch = list(like.shape[1:])
+        half = batch[:-1] + [batch[-1] // 2]
+        return jnp.concatenate([self.F.broadcast_const(value, tuple(half)),
+                                self.F.zeros(tuple(half))], axis=-1)
+
+    def tile_lanes(self, a, k: int):
+        """Repeat per-half so [c0|c1] stays contiguous after tiling."""
+        a0, a1 = self._halves(a)
+        return jnp.concatenate([jnp.tile(a0, (1, k)), jnp.tile(a1, (1, k))],
+                               axis=-1)
+
+    def lane_width(self, a) -> int:
+        """Logical lane count (points), not raw array width."""
+        return a.shape[-1] // 2
 
 
 class JacPoint(NamedTuple):
@@ -124,6 +169,18 @@ class JacPoint(NamedTuple):
 def jac_identity_like(fops, coord):
     one = fops.const(1, coord)
     return JacPoint(one, one, fops.zeros_like(coord))
+
+
+def jac_identity_batch(fops, batch: tuple):
+    """Identity point batch; `batch` counts LOGICAL lanes (points)."""
+    F = fops.F
+    if isinstance(fops, Fp2Ops):
+        one = jnp.concatenate([F.broadcast_const(1, batch), F.zeros(batch)],
+                              axis=-1)
+        zero = jnp.zeros_like(one)
+        return JacPoint(one, one, zero)
+    return JacPoint(F.broadcast_const(1, batch), F.broadcast_const(1, batch),
+                    F.zeros(batch))
 
 
 def jac_double(fops, P: JacPoint) -> JacPoint:
@@ -213,14 +270,52 @@ def _msm_step(fops, acc: JacPoint, points: JacPoint, bits_k) -> JacPoint:
                     fops.select(take, summed.z, acc.z))
 
 
+def _ladder_batch_shape(fops, points: JacPoint, scalar_bits):
+    return tuple(scalar_bits.shape[1:])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _ladder_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
     """Per-lane s_i * P_i for all lanes (no reduction): one fori_loop body."""
     def body(k, acc):
         return _msm_step(fops, acc, points, scalar_bits[n_bits - 1 - k])
 
-    acc0 = jac_identity_like(fops, points.x)
+    acc0 = jac_identity_batch(fops, _ladder_batch_shape(fops, points, scalar_bits))
     return jax.lax.fori_loop(0, n_bits, body, acc0)
+
+
+def _segment_reduce_fori(fops, pts: JacPoint, seg: int) -> JacPoint:
+    """Reduce each length-`seg` segment of the lane axis to its first lane:
+    log2(seg) rounds of `pts + roll(pts, -stride)`. Lanes j*seg hold segment
+    sums afterwards (other lanes are don't-care)."""
+    assert seg & (seg - 1) == 0
+    rounds = seg.bit_length() - 1
+    if rounds == 0:
+        return pts
+
+    def body(r, cur):
+        stride = seg >> (r + 1)
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -stride, axis=-1), cur)
+        return jac_add(fops, cur, shifted)
+
+    return jax.lax.fori_loop(0, rounds, body, pts)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_multi_fused(fops, points: JacPoint, bits3, n_bits: int,
+                     m: int) -> JacPoint:
+    """MSM over k independent scalar sets sharing one point table.
+
+    bits3: [n_bits, k, m]; points: [L, m]. The proof axis folds into the lane
+    axis (all arrays stay 2-D, so the k=1 case shares compiled kernels with
+    everything else); the reduction runs per length-m segment. Returns
+    JacPoint [L, k]."""
+    nb_, k, _ = bits3.shape
+    bits2 = bits3.reshape(nb_, k * m)
+    pts = jax.tree.map(lambda a: fops.tile_lanes(a, k), points)
+    acc = _ladder_fused(fops, pts, bits2, n_bits)
+    acc = _segment_reduce_fori(fops, acc, m)
+    return jax.tree.map(lambda a: a[..., ::m], acc)
 
 
 def _tree_reduce_fori(fops, pts: JacPoint) -> JacPoint:
@@ -247,34 +342,53 @@ def _msm_fused(fops, points: JacPoint, scalar_bits, n_bits: int) -> JacPoint:
     return _tree_reduce_fori(fops, _ladder_fused(fops, points, scalar_bits, n_bits))
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _msm_step_jit(fops, acc, points, bits_k):
+    return _msm_step(fops, acc, points, bits_k)
+
+
+def _msm_multi_unfused(fops, points: JacPoint, bits3, n_bits: int, m: int) -> JacPoint:
+    """Step-at-a-time variant of _msm_multi_fused: python loop over ONE
+    shape-stable jitted step per bit. Used on CPU (whole-ladder compiles take
+    minutes) and for G2 on the TPU (the Fp2 whole-ladder graph takes >15 min
+    of remote compile; per-step dispatch costs ~30 ms x n_bits instead)."""
+    nb_, k, _ = bits3.shape
+    bits2 = bits3.reshape(nb_, k * m)
+    pts = jax.tree.map(lambda a: fops.tile_lanes(a, k), points)
+    acc = jac_identity_batch(fops, (k * m,))
+    for i in range(n_bits):
+        acc = _msm_step_jit(fops, acc, pts, bits2[n_bits - 1 - i])
+    stride = m // 2
+    while stride >= 1:
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -stride, axis=-1), acc)
+        acc = _jac_add_jit(fops, acc, shifted)
+        stride //= 2
+    return jax.tree.map(lambda a: a[..., ::m], acc)
+
+
 def msm_double_and_add(fops, points: JacPoint, scalar_bits, n_bits: int,
                        fused: bool | None = None) -> JacPoint:
-    """Baseline batched MSM: computes sum_i s_i * P_i.
+    """Baseline batched MSM: sum_i s_i * P_i (shared point table).
 
-    points: JacPoint batched over N lanes; scalar_bits: uint32[n_bits, N]
-    (little-endian). Returns a single point (batch reduced to 1 lane).
+    points: JacPoint over m lanes. scalar_bits: uint32[n_bits, m] for a single
+    MSM (returns a width-1 point) or uint32[n_bits, k, m] for k independent
+    scalar sets (returns a width-k point; the proof axis is folded into the
+    lane axis so every shape stays 2-D and the k=1 compiles are reused).
 
-    fused=True compiles the whole ladder as one XLA program (one fori_loop
-    body) — best runtime, but XLA:CPU takes minutes to compile it, so tests on
-    the CPU mesh default to fused=False: a Python loop dispatching one
-    compiled step per bit (same kernels, per-step dispatch overhead).
+    fused=True compiles the whole ladder as one XLA program — best runtime,
+    but XLA:CPU takes minutes to compile it, so the CPU mesh defaults to
+    fused=False: a Python loop over shape-stable jitted steps.
     """
     if fused is None:
-        fused = jax.default_backend() != "cpu"
+        # G2 never fuses: its whole-ladder graph takes >15 min of remote
+        # TPU compile; G1 fuses on TPU only.
+        fused = jax.default_backend() != "cpu" and not isinstance(fops, Fp2Ops)
+    single = scalar_bits.ndim == 2
+    bits3 = scalar_bits[:, None, :] if single else scalar_bits
+    m = fops.lane_width(points.x)      # logical lanes (Fp2 arrays hold 2N)
     if fused:
-        return _msm_fused(fops, points, scalar_bits, n_bits)
-    # Unfused: one compiled jac_add + jac_double per (fops, width), reused for
-    # every ladder step AND the roll-based reduction — shape stability is what
-    # keeps XLA:CPU compile time bounded.
-    acc = jac_identity_like(fops, points.x)
-    for k in range(n_bits):
-        doubled = _jac_dbl_jit(fops, acc)
-        summed = _jac_add_jit(fops, doubled, points)
-        take = scalar_bits[n_bits - 1 - k] != 0
-        acc = JacPoint(fops.select(take, summed.x, doubled.x),
-                       fops.select(take, summed.y, doubled.y),
-                       fops.select(take, summed.z, doubled.z))
-    return _tree_reduce_rolled(fops, acc)
+        return _msm_multi_fused(fops, points, bits3, n_bits, m)
+    return _msm_multi_unfused(fops, points, bits3, n_bits, m)
 
 
 def _tree_reduce_rolled(fops, pts: JacPoint) -> JacPoint:
@@ -325,6 +439,7 @@ def g1_points_to_device(F: LimbField, pts: list) -> JacPoint:
 
 
 def g2_points_to_device(F: LimbField, pts: list) -> JacPoint:
+    """Folded Fp2 layout: coord array = [L, 2N] with c0 | c1 halves."""
     xs0, xs1, ys0, ys1, zs0 = [], [], [], [], []
     for p in pts:
         if p is None:
@@ -332,10 +447,9 @@ def g2_points_to_device(F: LimbField, pts: list) -> JacPoint:
         else:
             xs0.append(p[0][0]); xs1.append(p[0][1])
             ys0.append(p[1][0]); ys1.append(p[1][1]); zs0.append(1)
-    zeros = F.to_device([0] * len(pts))
-    return JacPoint((F.to_device(xs0), F.to_device(xs1)),
-                    (F.to_device(ys0), F.to_device(ys1)),
-                    (F.to_device(zs0), zeros))
+    zeros = [0] * len(pts)
+    return JacPoint(F.to_device(xs0 + xs1), F.to_device(ys0 + ys1),
+                    F.to_device(zs0 + zeros))
 
 
 def g1_jac_to_host_affine(F: LimbField, pt: JacPoint, p_mod: int) -> list:
@@ -355,9 +469,12 @@ def g1_jac_to_host_affine(F: LimbField, pt: JacPoint, p_mod: int) -> list:
 
 
 def g2_jac_to_host_affine(F: LimbField, pt: JacPoint, p_mod: int) -> list:
-    x0 = F.from_device(pt.x[0]); x1 = F.from_device(pt.x[1])
-    y0 = F.from_device(pt.y[0]); y1 = F.from_device(pt.y[1])
-    z0 = F.from_device(pt.z[0]); z1 = F.from_device(pt.z[1])
+    def halves(a):
+        n = a.shape[-1] // 2
+        return F.from_device(a[..., :n]), F.from_device(a[..., n:])
+    x0, x1 = halves(pt.x)
+    y0, y1 = halves(pt.y)
+    z0, z1 = halves(pt.z)
     from ..curve.bn254_host import f2_inv, f2_mul
     out = []
     for i in range(len(x0)):
