@@ -21,10 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the big fused field/EC graphs are expensive for
-# XLA:CPU to compile; cache them across test runs (and across build rounds).
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is deliberately NOT enabled for the
+# CPU test mesh: XLA:CPU executable (de)serialization segfaults on the largest
+# EC kernels in this jaxlib (crash inside compilation_cache.put/get_executable)
+# — observed reproducibly on the G2 MSM step. Tests pay fresh compiles instead.
+# The TPU bench path keeps its own cache (.jax_cache_tpu), which is stable.
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8

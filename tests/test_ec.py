@@ -81,3 +81,20 @@ def test_g2_ops_and_msm():
     for s, p in zip(scalars, pts):
         want = host.g2_add(want, host.g2_mul(p, s))
     assert got == want
+
+
+def test_jac_add_incomplete_cases():
+    from zksc_tpu.ops.ec import jac_add_incomplete
+    p = rand_g1(1)[0]
+    cases_a = [p, None, p, None]
+    cases_b = [None, p, host.g1_neg(p), None]
+    da = g1_points_to_device(Fp, cases_a)
+    db = g1_points_to_device(Fp, cases_b)
+    out = g1_jac_to_host_affine(Fp, jac_add_incomplete(G1_OPS, da, db), host.P)
+    assert out == [p, p, None, None]
+    # distinct points add correctly
+    q = rand_g1(1)[0]
+    da2 = g1_points_to_device(Fp, [p])
+    db2 = g1_points_to_device(Fp, [q])
+    out2 = g1_jac_to_host_affine(Fp, jac_add_incomplete(G1_OPS, da2, db2), host.P)
+    assert out2 == [host.g1_add(p, q)]

@@ -232,6 +232,35 @@ def jac_add(fops, P: JacPoint, Q: JacPoint) -> JacPoint:
     return res
 
 
+def jac_add_incomplete(fops, P: JacPoint, Q: JacPoint) -> JacPoint:
+    """P + Q handling the identity cases but NOT P == Q (returns the identity
+    there instead of 2P). Safe inside MSM ladders: the accumulator equals the
+    addend point only when the scalar prefix s satisfies 2s ≡ 1 (mod r) — a
+    single 253-bit prefix, probability ~2^-250 for honest inputs, and a wrong
+    proof merely fails verification. Saves the embedded jac_double of the
+    complete formula (~2x fewer multiplies per ladder step)."""
+    Z1Z1, Z2Z2 = fops.mul_many([(P.z, P.z), (Q.z, Q.z)])
+    U1, U2, T1, T2 = fops.mul_many([(P.x, Z2Z2), (Q.x, Z1Z1),
+                                    (Q.z, Z2Z2), (P.z, Z1Z1)])
+    S1, S2 = fops.mul_many([(P.y, T1), (Q.y, T2)])
+    H = fops.sub(U2, U1)
+    r = fops.sub(S2, S1)
+    HH, rr, Z1Z2 = fops.mul_many([(H, H), (r, r), (P.z, Q.z)])
+    HHH, V, Z3 = fops.mul_many([(H, HH), (U1, HH), (Z1Z2, H)])
+    X3 = fops.sub(fops.sub(rr, HHH), fops.add(V, V))
+    Y3a, Y3b = fops.mul_many([(r, fops.sub(V, X3)), (S1, HHH)])
+    Y3 = fops.sub(Y3a, Y3b)
+    raw = JacPoint(X3, Y3, Z3)
+    p_inf = fops.is_zero(P.z)
+    q_inf = fops.is_zero(Q.z)
+    sel = lambda c, a, b: JacPoint(fops.select(c, a.x, b.x),
+                                   fops.select(c, a.y, b.y),
+                                   fops.select(c, a.z, b.z))
+    res = sel(p_inf, Q, raw)
+    res = sel(q_inf, P, res)
+    return res
+
+
 def affine_to_jac(fops, x, y, is_inf=None) -> JacPoint:
     """Affine (x, y) mont-form -> Jacobian; (is_inf mask optional)."""
     one = fops.const(1, x)
@@ -263,7 +292,7 @@ def _jac_dbl_jit(fops, P):
 
 def _msm_step(fops, acc: JacPoint, points: JacPoint, bits_k) -> JacPoint:
     acc = jac_double(fops, acc)
-    summed = jac_add(fops, acc, points)
+    summed = jac_add_incomplete(fops, acc, points)
     take = bits_k != 0
     return JacPoint(fops.select(take, summed.x, acc.x),
                     fops.select(take, summed.y, acc.y),
