@@ -21,6 +21,24 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the heaviest-compiling modules FIRST: XLA:CPU's compiler segfaults
+    non-deterministically when very large EC kernels compile late in a
+    process that has already JITed dozens of other kernels (observed
+    reproducibly at ~70 tests in; every module passes when compiled early
+    or solo). Fresh-process compile order dodges the bug."""
+    heavy = ("test_prove_batch", "test_groth16", "test_ec")
+
+    def rank(item):
+        name = item.module.__name__ if item.module else ""
+        for i, h in enumerate(heavy):
+            if h in name:
+                return i
+        return len(heavy)
+
+    items.sort(key=rank)
 # NOTE: the persistent compilation cache is deliberately NOT enabled for the
 # CPU test mesh: XLA:CPU executable (de)serialization segfaults on the largest
 # EC kernels in this jaxlib (crash inside compilation_cache.put/get_executable)

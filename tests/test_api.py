@@ -70,3 +70,12 @@ def test_full_chacha_proof_roundtrip():
     # tamper: flip one ciphertext byte
     bad = bytes([data[0] ^ 1]) + data[1:]
     assert not api.verify_proof(proof, bad, iv)
+
+
+def test_algorithms_info():
+    info = api.get_algorithms_info()
+    assert set(info) == {"chacha20", "aes-128-ctr", "aes-256-ctr"}
+    cc = info["chacha20"]
+    assert cc["n_constraints"] == 44608 and cc["domain_n"] == 65536
+    assert cc["chunk_size_bytes"] == 128 and len(cc["digest"]) == 64
+    assert info["aes-128-ctr"]["n_constraints"] > 100000

@@ -141,6 +141,28 @@ def generate_proof(algorithm: str, key: bytes, ciphertext: bytes, iv: bytes,
                          data_len=witness_input.data_len)
 
 
+def get_algorithms_info(engine: str = "groth16") -> dict:
+    """Circuit metadata per supported algorithm (mirror of the reference's
+    get_circuits_info, stwo wasm_api.rs:994-1008): constraint/wire counts,
+    NTT domain, chunk geometry, and the pinned circuit digest."""
+    from .operators import CircuitSpec
+    info = {}
+    for alg, cfg in CONFIG.items():
+        spec = CircuitSpec(alg)
+        cs = spec.cs
+        info[alg] = {
+            "engine": engine,
+            "n_constraints": cs.n_constraints,
+            "n_wires": cs.n_wires,
+            "n_public": cs.n_public,
+            "domain_n": max(4, 1 << (cs.n_constraints - 1).bit_length()),
+            "chunk_size_bytes": cfg.chunk_size_bytes,
+            "blocks_per_chunk": cfg.blocks_per_chunk,
+            "digest": cs.digest(),
+        }
+    return info
+
+
 def generate_proofs(algorithm: str, requests: list, engine: str = "groth16") -> list:
     """Batch variant of generate_proof. requests: list of dicts with keys
     {key, ciphertext, iv, offset_bytes?}; proves all chunks in one device
