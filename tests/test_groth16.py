@@ -85,3 +85,83 @@ def test_proof_json_roundtrip(artifacts):
     assert d["protocol"] == "groth16" and d["curve"] == "bn128"
     p2 = Proof.from_json_dict(d)
     assert verify(vk, p2, pub)
+
+
+def _find_twist_point_outside_subgroup():
+    """Find a point on E'(Fp2) (y^2 = x^3 + B2) that is NOT in the order-R
+    subgroup, via Fp2 = Fp[u]/(u^2+1) square roots (p = 3 mod 4)."""
+    from zksc_tpu.curve import bn254_host as host
+    P = host.P
+
+    def fp_sqrt(a):
+        r = pow(a, (P + 1) // 4, P)
+        return r if r * r % P == a % P else None
+
+    def f2_sqrt(c):
+        a, b = c
+        if b == 0:
+            r = fp_sqrt(a)
+            if r is not None:
+                return (r, 0)
+            r = fp_sqrt(-a % P)
+            return None if r is None else (0, r)
+        n = fp_sqrt((a * a + b * b) % P)
+        if n is None:
+            return None
+        for sign in (1, -1):
+            x0sq = (a + sign * n) * pow(2, -1, P) % P
+            x0 = fp_sqrt(x0sq)
+            if x0 is not None and x0 != 0:
+                x1 = b * pow(2 * x0, -1, P) % P
+                return (x0, x1)
+        return None
+
+    for xa in range(1, 200):
+        x = (xa, 1)
+        rhs = host.f2_add(host.f2_mul(x, host.f2_sqr(x)), host.B2)
+        y = f2_sqrt(rhs)
+        if y is None:
+            continue
+        pt = (x, y)
+        assert host.g2_is_on_curve(pt)
+        if not host.g2_in_subgroup(pt):
+            return pt
+    raise AssertionError("no out-of-subgroup twist point found")
+
+
+def test_verify_rejects_out_of_subgroup_b(artifacts):
+    """BN254's twist cofactor is huge: an on-curve but out-of-subgroup B must
+    be rejected before the pairing (gnark gets this from strict proof
+    deserialization; advisor r1 medium)."""
+    cs, pk, vk = artifacts
+    w, pub = _witness(cs, x=6)
+    ctx = ProverContext(cs, pk)
+    proof = ctx.prove(w, rng=lambda: RNG.randrange(1, 2**200))
+    assert verify(vk, proof, pub)
+    proof.b = _find_twist_point_outside_subgroup()
+    assert not verify(vk, proof, pub)
+
+
+def test_verify_rejects_noncanonical_coords(artifacts):
+    from zksc_tpu.curve import bn254_host as host
+    cs, pk, vk = artifacts
+    w, pub = _witness(cs, x=7)
+    ctx = ProverContext(cs, pk)
+    proof = ctx.prove(w, rng=lambda: RNG.randrange(1, 2**200))
+    assert verify(vk, proof, pub)
+    # same point, coordinates shifted by p: mathematically equal, but the
+    # encoding is malleable -> must be rejected
+    ax, ay = proof.a
+    proof.a = (ax + host.P, ay)
+    assert not verify(vk, proof, pub)
+
+
+def test_verify_rejects_malformed_json(artifacts):
+    from zksc_tpu.groth16.prove import Proof
+    for bad in ({}, {"pi_a": [1], "pi_b": [[1, 2]], "pi_c": [1, 2]},
+                {"pi_a": ["x", "y"], "pi_b": [["0", "0"], ["0", "0"]],
+                 "pi_c": ["0", "0"]}):
+        try:
+            Proof.from_json_dict(bad)
+        except (KeyError, ValueError, TypeError, IndexError):
+            continue

@@ -30,6 +30,51 @@ def test_aes_witness_satisfies(key_bits):
     assert not check_witness(cs, w2)
 
 
+def test_sbox_zero_hint_forgery_rejected(monkeypatch):
+    """Regression (advisor r1 high): inv(0)'s hinted bits were unconstrained
+    (x==0 kills the carryless product check for ANY v), letting a prover claim
+    S(0) != 0x63. The v_spread*z==0 binding must reject a forged hint."""
+    import numpy as np
+
+    pub_l = [("x", 8), ("s", 8)]
+
+    def define(api, v):
+        for b in v["x"]:
+            api.assert_bool(b)
+        out = ac._sbox(api, v["x"])
+        for o, sb in zip(out, v["s"]):
+            api.assert_eq(o, sb)
+
+    cs = compile_circuit(define, pub_l, [])
+
+    def forged_hint(x_vals):
+        # claim inv(0) = 5 instead of 0
+        outs = [np.asarray([(5 >> i) & 1 for _ in x_vals], dtype=object)
+                for i in range(8)]
+        outs.append(np.asarray([1 for _ in x_vals], dtype=object))
+        return outs
+
+    # forged output byte = affine(5); compute it with plain ints
+    v = 5
+    forged_s = 0
+    for i in range(8):
+        bit = ((v >> i) ^ (v >> ((i + 4) % 8)) ^ (v >> ((i + 5) % 8))
+               ^ (v >> ((i + 6) % 8)) ^ (v >> ((i + 7) % 8)) ^ (0x63 >> i)) & 1
+        forged_s |= bit << i
+    assert forged_s != 0x63
+
+    monkeypatch.setattr(ac, "_sbox_hint", forged_hint)
+    pub = {"x": [[0]] * 8, "s": [[(forged_s >> i) & 1] for i in range(8)]}
+    w = generate_witness(define, pub_l, [], pub, {}, batch=1)
+    assert not check_witness(cs, w)
+
+    # and the honest witness (real hint) still satisfies
+    monkeypatch.undo()
+    pub_ok = {"x": [[0]] * 8, "s": [[(0x63 >> i) & 1] for i in range(8)]}
+    w_ok = generate_witness(define, pub_l, [], pub_ok, {}, batch=1)
+    assert check_witness(cs, w_ok)
+
+
 def test_aes128_counts():
     cs = compile_circuit(ac.make_define(1, 128), ac.public_layout(1),
                          ac.private_layout(1, 128))

@@ -273,6 +273,46 @@ def g2_mul(p, k: int):
     return _ec_mul(p, k, g2_add, g2_neg)
 
 
+def g1_is_canonical(pt) -> bool:
+    """Coordinates reduced mod p (rejects malleable non-canonical encodings)."""
+    if pt is None:
+        return True
+    x, y = pt
+    return 0 <= x < P and 0 <= y < P
+
+
+def g2_is_canonical(pt) -> bool:
+    if pt is None:
+        return True
+    (x0, x1), (y0, y1) = pt
+    return all(0 <= c < P for c in (x0, x1, y0, y1))
+
+
+def g2_in_subgroup(pt) -> bool:
+    """Order-R subgroup membership on the twist. BN254's E'(Fp2) has a large
+    cofactor, so on-curve does NOT imply subgroup membership; reference
+    verifiers get this via strict deserialization (gnark
+    libraries/verifier/impl — groth16.Verify path). Plain mul-by-R ladder
+    (NOT _ec_mul, which reduces k mod R and would trivially return None)."""
+    if pt is None:
+        return True
+    if not g2_is_on_curve(pt):
+        return False
+    try:
+        result, addend, k = None, pt, R
+        while k:
+            if k & 1:
+                result = g2_add(result, addend)
+            if addend is not None and addend[1] == F2_ZERO:
+                addend = None  # order-2 point: doubling hits infinity
+            else:
+                addend = g2_add(addend, addend)
+            k >>= 1
+        return result is None
+    except (ValueError, ZeroDivisionError):
+        return False  # degenerate arithmetic (e.g. inverting zero)
+
+
 # ---------------------------------------------------------------------------
 # Optimal ate pairing
 # ---------------------------------------------------------------------------

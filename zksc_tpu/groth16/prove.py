@@ -21,7 +21,7 @@ import numpy as np
 
 from ..curve import bn254_host as host
 from ..fields.limb import Fp, Fr, MASK, W
-from ..ops import ec
+from ..ops import ec, msm
 from ..ops.ntt import NTTContext
 from ..r1cs.builder import ConstraintSystem
 from .setup import ProvingKey
@@ -157,26 +157,37 @@ class ProverContext:
             rng = lambda: secrets.randbelow(host.R)
         pk = self.pk
         k = len(witnesses)
-        z_mont, z_bits, nb = self._witnesses_to_device(witnesses)
-        h_bits = self.compute_h_bits_batch(z_mont)      # [254, k, n]
+        z_mont, z_plain, nb = self._witnesses_to_device(witnesses)
+        h_plain = self.compute_h_batch(z_mont)          # [L, k, n] plain limbs
         ell = pk.n_public + 1
-        priv_bits = z_bits[:, :, ell:ell + self.c_pad]
-        if priv_bits.shape[2] < self.c_pad:
-            priv_bits = jnp.pad(
-                priv_bits, ((0, 0), (0, 0),
-                            (0, self.c_pad - priv_bits.shape[2])))
+        priv_plain = z_plain[:, :, ell:ell + self.c_pad]
+        if priv_plain.shape[2] < self.c_pad:
+            priv_plain = jnp.pad(
+                priv_plain, ((0, 0), (0, 0),
+                             (0, self.c_pad - priv_plain.shape[2])))
 
-        a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
-        b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
-        b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb)
-        c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
-        h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
-
-        a_pts = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[:k]
-        b1_pts = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[:k]
-        b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
-        c_pts = ec.g1_jac_to_host_affine(Fp, c_msm, host.P)[:k]
-        h_pts = ec.g1_jac_to_host_affine(Fp, h_msm, host.P)[:k]
+        if self.m_pad >= 256:
+            # Pippenger bucket MSMs (sort + prefix-scan; ops/msm.py)
+            a_pts = msm.msm_pippenger(ec.G1_OPS, pk.a_query, z_plain, nb)
+            b1_pts = msm.msm_pippenger(ec.G1_OPS, pk.b_g1_query, z_plain, nb)
+            b2_pts = msm.msm_pippenger(ec.G2_OPS, pk.b_g2_query, z_plain, nb)
+            c_pts = msm.msm_pippenger(ec.G1_OPS, pk.c_query, priv_plain, nb)
+            h_pts = msm.msm_pippenger(ec.G1_OPS, pk.h_query, h_plain, 254)
+        else:
+            # tiny circuits (unit tests): the batched ladder compiles faster
+            z_bits = ec.scalars_to_bits(Fr, z_plain, nb)
+            priv_bits = ec.scalars_to_bits(Fr, priv_plain, nb)
+            h_bits = ec.scalars_to_bits(Fr, h_plain, 254)
+            a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
+            b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
+            b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb)
+            c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
+            h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
+            a_pts = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[:k]
+            b1_pts = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[:k]
+            b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
+            c_pts = ec.g1_jac_to_host_affine(Fp, c_msm, host.P)[:k]
+            h_pts = ec.g1_jac_to_host_affine(Fp, h_msm, host.P)[:k]
 
         proofs = []
         g = host
@@ -230,18 +241,17 @@ class ProverContext:
                 cols.append(np.asarray(Fr.to_device(vals, mont=False)))
             z_plain = jnp.asarray(np.stack(cols, axis=1))
         z_mont = Fr.to_mont(z_plain)
-        z_bits = ec.scalars_to_bits(Fr, z_plain, n_bits)
-        return z_mont, z_bits, n_bits
+        return z_mont, z_plain, n_bits
 
     @functools.partial(jax.jit, static_argnums=0)
     def _h_pipeline_batch(self, z_mont, mats):
-        """Batched quotient: z_mont [L, k, m_pad] -> h bits [254, k, n]."""
+        """Batched quotient: z_mont [L, k, m_pad] -> h [L, k, n] plain limbs
+        (bit-reversed coefficient order, matching the h_query layout)."""
         k = z_mont.shape[1]
         outs = []
         for j in range(k):
             outs.append(self._h_core(z_mont[:, j, :], mats))
-        h = jnp.stack(outs, axis=1)                     # [L, k, n] plain
-        return ec.scalars_to_bits(Fr, h, 254)
+        return jnp.stack(outs, axis=1)                  # [L, k, n] plain
 
     def _h_core(self, z_mont_1, mats):
         az = self._matvec(mats[0], z_mont_1)
@@ -257,5 +267,5 @@ class ProverContext:
         h_br = ntt.coeffs_br_from_coset_evals(h_cs)
         return Fr.from_mont(h_br)
 
-    def compute_h_bits_batch(self, z_mont):
+    def compute_h_batch(self, z_mont):
         return self._h_pipeline_batch(z_mont, self._mats)

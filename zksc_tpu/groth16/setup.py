@@ -7,9 +7,11 @@ artifact integrity by SHA-256 digest.
 
 Scalar-side evaluations (QAP polynomials at tau in Lagrange basis) run on host
 with python ints; the heavy part — one fixed-base scalar multiplication per
-wire per query — runs as batched TPU ladders (ops.ec). H-query points are
-stored in BIT-REVERSED order so the prover can feed NTT output directly into
-the MSM with no runtime permutation (see ops/ntt.py).
+wire per query — runs on device via windowed fixed-base tables
+(ops.msm.batch_scalar_mul_fixed_base: host-precomputed window multiples, then
+one gather + add per 8-bit window). H-query points are stored in BIT-REVERSED
+order so the prover can feed NTT output directly into the MSM with no runtime
+permutation (see ops/ntt.py).
 """
 from __future__ import annotations
 
@@ -56,36 +58,13 @@ class VerifyingKey:
 
 def _batched_fixed_base_g1(scalars: list, base) -> list:
     """[s_i * base] for many scalars, on device. Returns host affine points."""
-    n = len(scalars)
-    npad = max(1, 1 << (n - 1).bit_length())
-    scal = scalars + [0] * (npad - n)
-    bits = ec.scalars_to_bits(Fr, Fr.to_device(scal, mont=False), 254)
-    pts = ec.g1_points_to_device(Fp, [base] * npad)
-    acc = _ladder(ec.G1_OPS, pts, bits)
-    return ec.g1_jac_to_host_affine(Fp, acc, host.P)[:n]
+    from ..ops import msm
+    return msm.batch_scalar_mul_fixed_base(scalars, base, g2=False)
 
 
 def _batched_fixed_base_g2(scalars: list, base) -> list:
-    n = len(scalars)
-    npad = max(1, 1 << (n - 1).bit_length())
-    scal = scalars + [0] * (npad - n)
-    bits = ec.scalars_to_bits(Fr, Fr.to_device(scal, mont=False), 254)
-    pts = ec.g2_points_to_device(Fp, [base] * npad)
-    acc = _ladder(ec.G2_OPS, pts, bits)
-    return ec.g2_jac_to_host_affine(Fp, acc, host.P)[:n]
-
-
-def _ladder(fops, points, bits, n_bits: int = 254):
-    """Per-lane double-and-add (the MSM ladder without the final reduction).
-    Same fuse policy as ops.ec.msm_double_and_add: G1 fuses on TPU; G2 and
-    the CPU mesh run one jitted step per bit."""
-    import jax
-    if jax.default_backend() != "cpu" and not isinstance(fops, ec.Fp2Ops):
-        return ec._ladder_fused(fops, points, bits, n_bits)
-    acc = ec.jac_identity_batch(fops, tuple(bits.shape[1:]))
-    for k in range(n_bits):
-        acc = ec._msm_step_jit(fops, acc, points, bits[n_bits - 1 - k])
-    return acc
+    from ..ops import msm
+    return msm.batch_scalar_mul_fixed_base(scalars, base, g2=True)
 
 
 def setup(cs: ConstraintSystem, rng=None) -> tuple:

@@ -19,10 +19,14 @@ from .setup import VerifyingKey
 def verify(vk: VerifyingKey, proof: Proof, public_inputs: list) -> bool:
     if len(public_inputs) != len(vk.ic) - 1:
         return False
-    for pt, name in ((proof.a, "A"), (proof.c, "C")):
-        if not host.g1_is_on_curve(pt):
+    for pt in (proof.a, proof.c):
+        # G1's cofactor is 1 on BN254, so on-curve + canonical => in-subgroup.
+        if not (host.g1_is_canonical(pt) and host.g1_is_on_curve(pt)):
             return False
-    if not host.g2_is_on_curve(proof.b):
+    # B is untrusted G2: the twist has a large cofactor, so require full
+    # order-R subgroup membership (and canonical coords), matching gnark's
+    # strict proof deserialization.
+    if not (host.g2_is_canonical(proof.b) and host.g2_in_subgroup(proof.b)):
         return False
 
     acc = vk.ic[0]

@@ -61,6 +61,14 @@ class FpOps:
     def lane_width(self, a) -> int:
         return a.shape[-1]
 
+    def lane_map(self, fn, a):
+        """Apply a lane-axis array transform (gather/slice/reshape/...) to the
+        raw storage. For Fp the storage IS the logical lane layout."""
+        return fn(a)
+
+    def lane_map2(self, fn, a, b):
+        return fn(a, b)
+
 
 class Fp2Ops:
     """Fp2 = Fp[i]/(i^2+1); element = ONE array [L, 2N]: c0 in the first N
@@ -157,6 +165,17 @@ class Fp2Ops:
     def lane_width(self, a) -> int:
         """Logical lane count (points), not raw array width."""
         return a.shape[-1] // 2
+
+    def lane_map(self, fn, a):
+        """Apply a lane-axis transform per component half, keeping the
+        [c0 | c1] folded layout."""
+        a0, a1 = self._halves(a)
+        return jnp.concatenate([fn(a0), fn(a1)], axis=-1)
+
+    def lane_map2(self, fn, a, b):
+        a0, a1 = self._halves(a)
+        b0, b1 = self._halves(b)
+        return jnp.concatenate([fn(a0, b0), fn(a1, b1)], axis=-1)
 
 
 class JacPoint(NamedTuple):

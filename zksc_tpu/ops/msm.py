@@ -1,0 +1,399 @@
+"""Pippenger multi-scalar multiplication on TPU (sort + prefix-scan buckets).
+
+Fills the role of the reference's MSM hot loop (gnark-crypto Pippenger inside
+groth16.Prove, gnark/libraries/prover/impl/provers.go:175-180; snarkjs WASM
+MSM, js/src/snarkjs/operator.ts:112-118 — SURVEY.md §2.5 item 1), re-designed
+for vector hardware: bucket accumulation is scatter-heavy on CPUs/GPUs, so
+here it becomes a sort + hierarchical prefix scan + boundary gather, all
+fixed-shape full-width VPU ops.
+
+Formulation, per c-bit window w (and per proof in a batch):
+
+  digit d_i = bits [w*c, (w+1)*c) of scalar_i
+  window sum S_w = sum_d d * B_d            (B_d = sum of P_i with d_i == d)
+               = sum_{j>=1} T_j             (T_j = sum of P_i with d_i >= j)
+
+Sorting the window's points by digit DESCENDING makes every T_j a PREFIX of
+the sorted sequence: T_j = V[cnt_ge(j) - 1] where V is the inclusive prefix
+sum (EC adds) and cnt_ge comes from a digit histogram. So per window:
+
+  1. sort point indices by digit (one global XLA sort, windows+proofs
+     concatenated with segment-prefixed keys)
+  2. hierarchical prefix scan over the sorted points: chunk-local scans
+     (fori_loop, one add instance per level) + a small Hillis-Steele top —
+     ~1.1 EC adds per point, no scatters
+  3. gather V at the 2^c bucket boundaries, subtract the segment prefix
+     (group inverse: negate y), mask empty buckets
+  4. shrinking halving-tree reduce over the bucket axis -> S_w
+
+  MSM = sum_w 2^{c*w} * S_w      (tiny Horner combine on host)
+
+Total arithmetic ~ windows * (1.3*n + 2*2^c) EC adds vs the ladder's
+n_bits * 2 * n — about 10x less for the 254-bit H query at n = 2^16.
+
+The prefix scan and bucket reduce use COMPLETE additions (ec.jac_add): the
+P == Q doubling case occurs STRUCTURALLY there — every window's segment
+contains the same point multiset, so e.g. full-segment prefix sums are equal
+across windows, and witness vectors full of 0/1 wires make whole digit runs
+identical; an incomplete formula would silently zero them (this was observed,
+not hypothesized). Only the final V - prefix subtraction and the fixed-base
+combine keep incomplete adds, where operand equality would require an
+accidental (~2^-250) collision of sums of distinct point sets.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.limb import Fp, W as LIMB_W
+from . import ec
+from .ec import JacPoint
+
+
+def _jp(fops, fn, P: JacPoint) -> JacPoint:
+    return JacPoint(fops.lane_map(fn, P.x), fops.lane_map(fn, P.y),
+                    fops.lane_map(fn, P.z))
+
+
+def _jp2(fops, fn, P: JacPoint, Q: JacPoint) -> JacPoint:
+    return JacPoint(fops.lane_map2(fn, P.x, Q.x), fops.lane_map2(fn, P.y, Q.y),
+                    fops.lane_map2(fn, P.z, Q.z))
+
+
+def scalars_to_digits(scalars_plain, c: int, n_windows: int):
+    """Non-Montgomery 16-bit limbs uint32[L, *batch] -> digits
+    uint32[n_windows, *batch], digit w = scalar bits [w*c, (w+1)*c)."""
+    assert c <= LIMB_W, "window must fit in two 16-bit limbs"
+    L = scalars_plain.shape[0]
+    outs = []
+    for w in range(n_windows):
+        lo_bit = w * c
+        lo, off = lo_bit // LIMB_W, lo_bit % LIMB_W
+        d = scalars_plain[lo] >> off
+        if off + c > LIMB_W and lo + 1 < L:
+            d = d | (scalars_plain[lo + 1] << (LIMB_W - off))
+        outs.append(d & ((1 << c) - 1))
+    return jnp.stack(outs)
+
+
+def _local_scan(fops, pts: JacPoint, S: int, inclusive: bool):
+    """Chunk-local prefix scan along lanes: view [N] as [N//S chunks, S],
+    scan within each chunk. Returns (scanned [N] position-major, chunk
+    totals [N//S]). One jac_add instance (fori body) regardless of N."""
+    N = fops.lane_width(pts.x)
+    C = N // S
+    L_first = pts.x.shape[0]
+
+    def to_tmajor(a):
+        # position-major [L, C*S] -> t-major [L, S*C] (lane t*C + c)
+        return a.reshape(a.shape[0], C, S).transpose(0, 2, 1).reshape(
+            a.shape[0], S * C)
+
+    def to_pmajor(a):
+        return a.reshape(a.shape[0], S, C).transpose(0, 2, 1).reshape(
+            a.shape[0], C * S)
+
+    tm = _jp(fops, to_tmajor, pts)
+    out0 = ec.jac_identity_batch(fops, (S * C,))
+    acc0 = ec.jac_identity_batch(fops, (C,))
+
+    def body(t, carry):
+        out, acc = carry
+        sl = _jp(fops, lambda a: jax.lax.dynamic_slice_in_dim(a, t * C, C,
+                                                              axis=-1), tm)
+        summed = ec.jac_add(fops, acc, sl)
+        wr = summed if inclusive else acc
+        out = _jp2(fops, lambda o, v: jax.lax.dynamic_update_slice_in_dim(
+            o, v, t * C, axis=-1), out, wr)
+        return out, summed
+
+    out, acc = jax.lax.fori_loop(0, S, body, (out0, acc0))
+    return _jp(fops, to_pmajor, out), acc
+
+
+def _hs_scan(fops, pts: JacPoint, exclusive: bool) -> JacPoint:
+    """Global prefix scan via Hillis-Steele (log2(N) full-width adds); used
+    for the small top level of the hierarchy (and tiny inputs outright)."""
+    N = fops.lane_width(pts.x)
+    iota = jnp.arange(N)
+
+    def shift(P, d):
+        rolled = _jp(fops, lambda a: jnp.roll(a, d, axis=-1), P)
+        ident = ec.jac_identity_batch(fops, (N,))
+        cond = iota < d
+        return JacPoint(fops.select(cond, ident.x, rolled.x),
+                        fops.select(cond, ident.y, rolled.y),
+                        fops.select(cond, ident.z, rolled.z))
+
+    cur = shift(pts, 1) if exclusive else pts
+    d = 1
+    while d < N:
+        cur = ec.jac_add(fops, cur, shift(cur, d))
+        d *= 2
+    return cur
+
+
+_SCAN_S = 16          # chunk width per hierarchy level
+_HS_MAX = 8192        # switch to Hillis-Steele at/below this width
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _window_sums(fops, points: JacPoint, digits, c: int, k: int, n: int):
+    """Per-(proof, window) bucket-method sums.
+
+    points: JacPoint [L, n] (shared table). digits: uint32 [k, W, n].
+    Returns JacPoint [L, k*W]: lane j*W + w = S_w for proof j."""
+    W = digits.shape[1]
+    two_c = 1 << c
+    segs = k * W
+    N = segs * n
+
+    # ---- keys: segment-major, digit DESCENDING within segment ----
+    f = (two_c - 1) - digits.astype(jnp.int32)                    # flipped
+    seg_ids = jnp.arange(segs, dtype=jnp.int32).reshape(k, W, 1)
+    key = (seg_ids * two_c + f).reshape(-1)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                           (k, W, n)).reshape(-1)
+
+    # histogram -> inclusive counts over flipped digit: cnt_ge(j) = cum[., 2^c-1-j]
+    counts = jax.ops.segment_sum(jnp.ones_like(key), key, num_segments=segs * two_c)
+    cum = jnp.cumsum(counts.reshape(segs, two_c), axis=-1)        # [segs, 2^c]
+
+    _, sidx = jax.lax.sort([key, idx], num_keys=1)
+    pts = _jp(fops, lambda a: a[:, sidx], points)                 # [L, N]
+
+    # ---- hierarchical prefix scan ----
+    levels = []                                                   # (scan, stride)
+    if N <= _HS_MAX or N % _SCAN_S:
+        s0 = _hs_scan(fops, pts, exclusive=False)
+    else:
+        s0, tot = _local_scan(fops, pts, _SCAN_S, inclusive=True)
+        stride = _SCAN_S
+        while fops.lane_width(tot.x) > _HS_MAX and \
+                fops.lane_width(tot.x) % _SCAN_S == 0:
+            e, tot = _local_scan(fops, tot, _SCAN_S, inclusive=False)
+            levels.append((e, stride))
+            stride *= _SCAN_S
+        levels.append((_hs_scan(fops, tot, exclusive=True), stride))
+
+    # ---- bucket boundaries (q-major lanes: lane = q*segs + s) ----
+    cnt = cum.T                                                    # [2^c, segs]
+    base = (jnp.arange(segs, dtype=jnp.int32) * n)[None, :]
+    pos = jnp.clip(base + cnt - 1, 0, N - 1).reshape(-1)
+    V = _jp(fops, lambda a: a[:, pos], s0)
+    for e, st in levels:
+        lim = fops.lane_width(e.x) - 1
+        ep = jnp.clip(pos // st, 0, lim)
+        V = ec.jac_add_incomplete(fops, V,
+                                  _jp(fops, lambda a: a[:, ep], e))
+
+    # subtract the segment prefix (all points of earlier segments): for
+    # segment s > 0 that's V_global at position s*n - 1; identity for s == 0
+    pre_pos = jnp.clip(jnp.arange(segs, dtype=jnp.int32) * n - 1, 0, N - 1)
+    Pre = _jp(fops, lambda a: a[:, pre_pos], s0)
+    for e, st in levels:
+        lim = fops.lane_width(e.x) - 1
+        ep = jnp.clip(pre_pos // st, 0, lim)
+        Pre = ec.jac_add_incomplete(fops, Pre,
+                                    _jp(fops, lambda a: a[:, ep], e))
+    first_seg = jnp.arange(segs) == 0
+    Pre = JacPoint(Pre.x, fops.neg(Pre.y),
+                   fops.select(first_seg, fops.zeros_like(Pre.z), Pre.z))
+    PreT = _jp(fops, lambda a: jnp.tile(a, (1, two_c)), Pre)
+    T = ec.jac_add_incomplete(fops, V, PreT)
+
+    # mask: empty prefix (cnt == 0) and the digit-0 bucket (q == 2^c - 1)
+    q_flat = jnp.repeat(jnp.arange(two_c), segs)
+    valid = jnp.logical_and(cnt.reshape(-1) > 0, q_flat != two_c - 1)
+    ident = ec.jac_identity_batch(fops, (two_c * segs,))
+    T = JacPoint(fops.select(valid, T.x, ident.x),
+                 fops.select(valid, T.y, ident.y),
+                 fops.select(valid, T.z, ident.z))
+
+    # ---- shrinking halving reduce over the bucket axis ----
+    half = two_c
+    while half > 1:
+        half //= 2
+        lo = _jp(fops, lambda a: a[:, : half * segs], T)
+        hi = _jp(fops, lambda a: a[:, half * segs: 2 * half * segs], T)
+        T = ec.jac_add(fops, lo, hi)
+    return T                                                       # [L, segs]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _fixed_base_combine(fops, table: JacPoint, digits, c: int):
+    """result_i = sum_w table[w * 2^c + digits[w, i]] — one gather + one
+    incomplete add per window (fori body, single add instance)."""
+    W = digits.shape[0]
+    n = digits.shape[1]
+    acc0 = ec.jac_identity_batch(fops, (n,))
+
+    def body(w, acc):
+        idx = (w * (1 << c) + digits[w]).astype(jnp.int32)
+        pt = _jp(fops, lambda a: a[:, idx], table)
+        return ec.jac_add_incomplete(fops, acc, pt)
+
+    return jax.lax.fori_loop(0, W, body, acc0)
+
+
+_FB_TABLES: dict = {}
+
+
+def _fixed_base_table(base, g2: bool, c: int, n_bits: int):
+    """Host-precomputed window table: entry w*2^c + d = d * 2^(c*w) * base."""
+    from ..curve import bn254_host as host
+    key = (base, g2, c, n_bits)
+    if key in _FB_TABLES:
+        return _FB_TABLES[key]
+    add = host.g2_add if g2 else host.g1_add
+    W = -(-n_bits // c)
+    rows = []
+    cur = base
+    for _ in range(W):
+        row = [None]
+        acc = None
+        for _ in range((1 << c) - 1):
+            acc = add(acc, cur)
+            row.append(acc)
+        rows.extend(row)
+        for _ in range(c):
+            cur = add(cur, cur)
+    dev = (ec.g2_points_to_device if g2 else ec.g1_points_to_device)(Fp, rows)
+    _FB_TABLES[key] = dev
+    return dev
+
+
+def batch_scalar_mul_fixed_base(scalars: list, base, g2: bool = False,
+                                c: int = 8, n_bits: int = 254) -> list:
+    """[s_i * base] for many scalars against ONE fixed base — the trusted
+    setup's hot loop (fills the role of the per-query exponentiations inside
+    gnark's groth16.Setup, gnark/keygen/keygen.go:94). Windowed table lookup:
+    ceil(n_bits/c) gathers + adds per lane instead of a 254-step ladder
+    (~16x less arithmetic, and no per-bit dispatch for G2).
+
+    Returns host affine points (None = identity)."""
+    from ..fields.limb import Fr
+    n = len(scalars)
+    if n == 0:
+        return []
+    npad = max(1, 1 << (n - 1).bit_length())
+    sp = Fr.to_device(list(scalars) + [0] * (npad - n), mont=False)
+    W = -(-n_bits // c)
+    digits = scalars_to_digits(sp, c, W)
+    table = _fixed_base_table(base, g2, c, n_bits)
+    fops = ec.G2_OPS if g2 else ec.G1_OPS
+    acc = _fixed_base_combine(fops, table, digits, c)
+    from ..curve import bn254_host as host
+    if g2:
+        return ec.g2_jac_to_host_affine(fops.F, acc, host.P)[:n]
+    return ec.g1_jac_to_host_affine(fops.F, acc, host.P)[:n]
+
+
+def default_window_bits(n_bits: int, n: int) -> int:
+    """Balance scan work (W * 1.3n) against bucket work (W * 2*2^c)."""
+    best, best_cost = 8, None
+    for c in range(6, 17):
+        Wn = -(-n_bits // c)
+        cost = Wn * (1.3 * n + 2.0 * (1 << c))
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+def _window_sums_sharded(fops, points: JacPoint, digits, c: int, k: int,
+                         n: int, mesh) -> JacPoint:
+    """Shard the POINT axis over the mesh: every device runs the full bucket
+    pipeline on its n/D points (the bucket method is additive over point
+    partitions), producing per-device window sums; the tiny cross-device
+    combine happens on host. This is the MSM data parallelism of SURVEY §2.6
+    — embarrassingly parallel, near-linear scaling, no collectives on the
+    hot path."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    assert n % D == 0, "lane count must divide the mesh"
+
+    if isinstance(fops, ec.Fp2Ops):
+        # unfold [L, 2N] -> [L, 2, N] so lane sharding splits points, not
+        # the (c0|c1) component halves
+        def unfold(a):
+            return a.reshape(a.shape[0], 2, a.shape[1] // 2)
+
+        def refold(a):
+            return a.reshape(a.shape[0], a.shape[1] * a.shape[2])
+
+        pts_u = jax.tree.map(unfold, points)
+        pspec = P(None, None, axis)
+
+        def local(pts, dg):
+            pts_f = jax.tree.map(refold, pts)
+            out = _window_sums(fops, pts_f, dg, c, k, n // D)
+            return jax.tree.map(unfold, out)
+
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(pspec, P(None, None, axis)),
+                      out_specs=pspec)
+        out_u = f(pts_u, digits)
+        return jax.tree.map(refold, out_u)       # [L, 2 * D*segs] folded
+
+    f = shard_map(
+        lambda pts, dg: _window_sums(fops, pts, dg, c, k, n // D),
+        mesh=mesh, in_specs=(P(None, axis), P(None, None, axis)),
+        out_specs=P(None, axis))
+    return f(points, digits)                     # [L, D * segs]
+
+
+def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
+                  c: int | None = None, mesh=None) -> list:
+    """MSM sum_i s_i * P_i via the windowed bucket method.
+
+    points: JacPoint [L, n] (Montgomery limb form). scalars_plain: plain
+    (non-Montgomery) 16-bit limbs uint32 [L, n] for one MSM or [L, k, n]
+    for k independent scalar sets over the shared table.
+
+    Returns a list of k host affine points (int tuples, None = identity).
+    The final window combine (Horner, ~n_bits doublings on ONE point) runs
+    on the host: a handful of big-int ops is cheaper than width-1 device ops.
+    """
+    from ..curve import bn254_host as host
+
+    single = scalars_plain.ndim == 2
+    sp = scalars_plain[:, None, :] if single else scalars_plain
+    k, n = int(sp.shape[1]), int(sp.shape[2])
+    if c is None:
+        c = default_window_bits(n_bits, n)
+    Wn = -(-n_bits // c)
+    digits = scalars_to_digits(sp, c, Wn)            # [W, k, n]
+    digits = jnp.transpose(digits, (1, 0, 2))        # [k, W, n]
+    D = 1
+    if mesh is not None and mesh.devices.size > 1 and \
+            n % mesh.devices.size == 0:
+        D = mesh.devices.size
+        sums = _window_sums_sharded(fops, points, digits, c, k, n, mesh)
+    else:
+        sums = _window_sums(fops, points, digits, c, k, n)
+
+    if isinstance(fops, ec.Fp2Ops):
+        aff = ec.g2_jac_to_host_affine(fops.F, sums, host.P)
+        add, dbl = host.g2_add, lambda p: host.g2_add(p, p)
+    else:
+        aff = ec.g1_jac_to_host_affine(fops.F, sums, host.P)
+        add, dbl = host.g1_add, lambda p: host.g1_add(p, p)
+
+    segs = k * Wn
+    out = []
+    for j in range(k):
+        acc = None
+        for w in range(Wn - 1, -1, -1):
+            if acc is not None:
+                for _ in range(c):
+                    acc = dbl(acc)
+            for d in range(D):                       # sum device partials
+                acc = add(acc, aff[d * segs + j * Wn + w])
+        out.append(acc)
+    return out

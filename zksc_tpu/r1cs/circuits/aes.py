@@ -122,6 +122,11 @@ def _sbox(api, X):
     # spread operands: sum_i b_i * 16^i (linear)
     x_spread = api.add(*[api.mul_const(X[i], 1 << (4 * i)) for i in range(8)])
     v_spread = api.add(*[api.mul_const(vb[i], 1 << (4 * i)) for i in range(8)])
+    # Bind the hint when x == 0: with z==1 the product check below is vacuous
+    # (x_spread == 0 kills prod for ANY v), so force v == 0 there; the affine
+    # map then yields S(0) = 0x63 as required. v_spread is a carry-free sum of
+    # boolean bits at distinct 16^i weights, so v_spread == 0 iff all bits 0.
+    api.mul_eq(v_spread, z, api.constant(0))
     prod = api.mul(x_spread, v_spread)
     pb = api.to_bits(prod, 60)                        # 15 columns x 4 bits
     col_parity = [pb[4 * k] for k in range(15)]

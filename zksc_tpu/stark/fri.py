@@ -143,8 +143,13 @@ class FriContext:
     # ---- prover ----
 
     def prove(self, evals: np.ndarray, channel: Channel,
-              n_queries: int = 20, pow_bits: int = 10) -> FriProof:
-        """evals: uint32[N, 4] QM31 evaluations on the circle domain."""
+              n_queries: int = 20, pow_bits: int = 10,
+              return_queries: bool = False):
+        """evals: uint32[N, 4] QM31 evaluations on the circle domain.
+
+        With return_queries=True, returns (proof, queries) so a caller
+        protocol (the STARK prover) can open other commitments at the same
+        positions — the ALI consistency checks ride the FRI queries."""
         n = 1 << self.log_n
         assert evals.shape == (n, 4)
         layers = []
@@ -187,14 +192,19 @@ class FriContext:
                 ))
                 idx = self._next_index(idx, m, k)
             openings.append(per_layer)
-        return FriProof(layer_roots=[t.root for t in trees], last_value=last,
-                        pow_nonce=nonce, openings=openings,
-                        log_n=self.log_n, log_blowup=self.log_blowup)
+        proof = FriProof(layer_roots=[t.root for t in trees], last_value=last,
+                         pow_nonce=nonce, openings=openings,
+                         log_n=self.log_n, log_blowup=self.log_blowup)
+        return (proof, queries) if return_queries else proof
 
     # ---- verifier (host) ----
 
     def verify(self, proof: FriProof, channel: Channel,
-               n_queries: int = 20, pow_bits: int = 10) -> bool:
+               n_queries: int = 20, pow_bits: int = 10,
+               layer0_expected=None) -> bool:
+        """layer0_expected: optional callable (query_index) -> qm31 tuple;
+        when given, the opened layer-0 value at each query must equal it
+        (binds the FRI word to an outer ALI/consistency computation)."""
         if proof.log_n != self.log_n or proof.log_blowup != self.log_blowup:
             return False
         if len(proof.layer_roots) != self.n_folds:
@@ -214,6 +224,10 @@ class FriContext:
         for q, per_layer in zip(queries, proof.openings):
             idx = q
             expected = None
+            if layer0_expected is not None:
+                want = tuple(int(x) for x in layer0_expected(q))
+                if tuple(per_layer[0].value) != want:
+                    return False
             for k in range(self.n_folds):
                 m = 1 << (self.log_n - k)
                 opening = per_layer[k]
