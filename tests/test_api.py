@@ -74,7 +74,11 @@ def test_full_chacha_proof_roundtrip():
 
 def test_algorithms_info():
     info = api.get_algorithms_info()
-    assert set(info) == {"chacha20", "aes-128-ctr", "aes-256-ctr"}
+    assert set(info) == {"chacha20", "aes-128-ctr", "aes-256-ctr",
+                         "chacha20-toprf", "aes-128-ctr-toprf",
+                         "aes-256-ctr-toprf"}
+    assert info["chacha20-toprf"]["n_constraints"] > \
+        info["chacha20"]["n_constraints"]
     cc = info["chacha20"]
     assert cc["n_constraints"] == 44608 and cc["domain_n"] == 65536
     assert cc["chunk_size_bytes"] == 128 and len(cc["digest"]) == 64

@@ -38,6 +38,16 @@ CONFIG = {
         block_size_bytes=16, blocks_per_chunk=5, start_counter=2),
 }
 
+# TOPRF variants share the base cipher geometry; the circuit statement adds
+# the TOPRF verification layer (reference: gnark/circuits/{chachaV3_oprf,
+# aesV2_oprf} reuse the base circuit constants).
+for _base in ("chacha20", "aes-128-ctr", "aes-256-ctr"):
+    _c = CONFIG[_base]
+    CONFIG[f"{_base}-toprf"] = AlgorithmConfig(
+        name=f"{_base}-toprf", key_size_bytes=_c.key_size_bytes,
+        iv_size_bytes=_c.iv_size_bytes, block_size_bytes=_c.block_size_bytes,
+        blocks_per_chunk=_c.blocks_per_chunk, start_counter=_c.start_counter)
+
 SUPPORTED_ALGORITHMS = tuple(CONFIG)
 
 

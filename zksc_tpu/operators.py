@@ -2,8 +2,9 @@
 
 Mirrors the reference's operator layer (js/src/{snarkjs,gnark,stwo}/operator.ts
 — one factory per engine adapting the engine-neutral witness into the engine's
-native encoding). Round-1 engine: "groth16" — the TPU Groth16 prover over our
-own BN254 circuits. The STARK ("stwo"-equivalent) engine lands next.
+native encoding). Engines: "groth16" (TPU Groth16 over our BN254 circuits,
+snarkjs/gnark-equivalent) and "stark" (Circle-STARK over M31, the
+stwo-equivalent; chacha20 stream AIR).
 """
 from __future__ import annotations
 
@@ -28,17 +29,25 @@ class CircuitSpec:
     def __init__(self, algorithm: str):
         self.algorithm = algorithm
         cfg = CONFIG[algorithm]
-        if algorithm == "chacha20":
+        self.blocks = cfg.blocks_per_chunk
+        key_bits = cfg.key_size_bytes * 8
+        if algorithm.endswith("-toprf"):
+            from .r1cs.circuits import toprf_variants
+            self.module = toprf_variants
+            self.define = toprf_variants.make_define(
+                algorithm, self.blocks, key_bits)
+            self.pub_layout = toprf_variants.public_layout(
+                algorithm, self.blocks)
+            self.priv_layout = toprf_variants.private_layout(
+                algorithm, self.blocks, key_bits)
+        elif algorithm == "chacha20":
             self.module = chacha_circuit
-            self.blocks = cfg.blocks_per_chunk
             self.define = chacha_circuit.make_define(self.blocks)
             self.pub_layout = chacha_circuit.public_layout(self.blocks)
             self.priv_layout = chacha_circuit.private_layout(self.blocks)
         elif algorithm in ("aes-128-ctr", "aes-256-ctr"):
             from .r1cs.circuits import aes as aes_circuit
             self.module = aes_circuit
-            self.blocks = cfg.blocks_per_chunk
-            key_bits = cfg.key_size_bytes * 8
             self.define = aes_circuit.make_define(self.blocks, key_bits)
             self.pub_layout = aes_circuit.public_layout(self.blocks)
             self.priv_layout = aes_circuit.private_layout(self.blocks, key_bits)
@@ -58,8 +67,39 @@ class CircuitSpec:
         ins = [[wi.ciphertext[b * bs:(b + 1) * bs] for b in range(self.blocks)]]
         outs = [[wi.plaintext[b * bs:(b + 1) * bs] for b in range(self.blocks)]]
         infos = [[(blk.nonce, blk.counter) for blk in wi.blocks]]
-        pub, priv = self.module.witness_inputs([wi.key], infos, ins, outs,
-                                               self.blocks)
+        if wi.algorithm.endswith("-toprf"):
+            from .oprf.locations import compute_bitmask
+            from .r1cs.circuits import toprf as toprf_gadget
+            bnds = [bs if blk.boundary is None else blk.boundary
+                    for blk in wi.blocks]
+            total_bits = 8 * bs * self.blocks
+            bitmask = compute_bitmask(total_bits, wi.toprf.locations, bnds, bs)
+            total_len = sum(l[1] if isinstance(l, tuple) else l.length
+                            for l in wi.toprf.locations)
+            indices = [r.index for r in wi.toprf.responses]
+            from .oprf.oprf import lagrange_coeff
+            tp = {
+                "toprf_domain": [[int.from_bytes(wi.toprf.domain_separator,
+                                                 "big")]],
+                "toprf_resp": [], "toprf_coeff": [], "toprf_share_pub": [],
+                "toprf_c": [], "toprf_r": [],
+                "toprf_out": [[int(wi.toprf.output)]],
+            }
+            for r in wi.toprf.responses:
+                tp["toprf_resp"] += [[int(r.evaluated[0])],
+                                     [int(r.evaluated[1])]]
+                tp["toprf_share_pub"] += [[int(r.public_key[0])],
+                                          [int(r.public_key[1])]]
+                tp["toprf_coeff"].append([lagrange_coeff(indices, r.index)])
+                tp["toprf_c"].append([int(r.c)])
+                tp["toprf_r"].append([int(r.r)])
+            pub, priv = self.module.witness_inputs(
+                wi.algorithm, [wi.key], infos, ins, outs, self.blocks,
+                bitmasks=[bitmask], lens=[total_len], toprf_pubs=[tp],
+                masks=[wi.mask])
+        else:
+            pub, priv = self.module.witness_inputs([wi.key], infos, ins, outs,
+                                                   self.blocks)
         w = generate_witness(self.define, self.pub_layout, self.priv_layout,
                              pub, priv, batch=1)
         return w[:, 0]
@@ -101,7 +141,8 @@ class Groth16Operator:
     def ensure_vk(self):
         if self._vk is None:
             if os.path.exists(os.path.join(self._dir, "vk.json")):
-                self._vk = self._art.load_vk(self._dir)
+                self._vk = self._art.load_vk(
+                    self._dir, expected_digest=self.spec.cs.digest())
             else:
                 self._ensure_keys()
         return self._vk
@@ -135,7 +176,83 @@ class Groth16Operator:
         return g16_verify(vk, proof, public_bits)
 
 
+class StarkOperator:
+    """Circle-STARK engine ("stark"), the stwo-equivalent backend
+    (reference operator shape: js/src/stwo/operator.ts:87-181 — single
+    nonce, sequential counters, proof as base64 JSON payload)."""
+
+    def __init__(self, algorithm: str):
+        if algorithm != "chacha20":
+            raise ValueError(
+                f"stark engine supports chacha20 only (got {algorithm!r}); "
+                "the AES-CTR lookup AIR is the next milestone")
+        self.algorithm = algorithm
+
+    @staticmethod
+    def _check_blocks(blocks):
+        nonce = blocks[0].nonce
+        counter0 = blocks[0].counter
+        for i, b in enumerate(blocks):
+            if b.nonce != nonce or b.counter != counter0 + i:
+                raise ValueError("stark engine requires a single nonce and "
+                                 "sequential counters (reference stwo parity)")
+        return nonce, counter0
+
+    def prove(self, wi: ZKProofInput) -> dict:
+        from .stark import prover as sp
+        nonce, counter0 = self._check_blocks(wi.blocks)
+        proof = sp.prove_stream(wi.key, nonce, counter0,
+                                wi.plaintext, wi.ciphertext)
+        return proof.to_json_dict()
+
+    def prove_batch(self, wis: list) -> list:
+        return [self.prove(wi) for wi in wis]
+
+    def verify(self, public_bits: list, proof_data: dict) -> bool:
+        """public_bits: the engine-neutral signal vector from
+        api.get_public_signals (per block: counter LE bits, nonce bits,
+        ciphertext bits, plaintext bits) — decoded back to byte inputs."""
+        from .stark import prover as sp
+        cfg = CONFIG[self.algorithm]
+        bs = cfg.block_size_bytes
+        per_block = 32 + 96 + 8 * bs + 8 * bs
+        if len(public_bits) != per_block * cfg.blocks_per_chunk:
+            return False
+
+        def bits_to_bytes(bits):
+            out = bytearray(len(bits) // 8)
+            for i, b in enumerate(bits):
+                if int(b) not in (0, 1):
+                    raise ValueError("non-bit public signal")
+                out[i // 8] |= int(b) << (i % 8)
+            return bytes(out)
+
+        try:
+            nonce = counter0 = None
+            cts, pts = [], []
+            for blk in range(cfg.blocks_per_chunk):
+                off = blk * per_block
+                ctr = int.from_bytes(
+                    bits_to_bytes(public_bits[off:off + 32]), "little")
+                nnc = bits_to_bytes(public_bits[off + 32:off + 128])
+                cts.append(bits_to_bytes(
+                    public_bits[off + 128:off + 128 + 8 * bs]))
+                pts.append(bits_to_bytes(
+                    public_bits[off + 128 + 8 * bs:off + per_block]))
+                if blk == 0:
+                    nonce, counter0 = nnc, ctr
+                elif nnc != nonce or ctr != counter0 + blk:
+                    return False
+            proof = sp.StreamProof.from_json_dict(proof_data)
+            return sp.verify_stream(proof, nonce, counter0,
+                                    b"".join(pts), b"".join(cts))
+        except Exception:
+            return False
+
+
 def make_operator(algorithm: str, engine: str):
     if engine == "groth16":
         return Groth16Operator(algorithm)
-    raise ValueError(f"unknown engine {engine!r} (available: groth16)")
+    if engine == "stark":
+        return StarkOperator(algorithm)
+    raise ValueError(f"unknown engine {engine!r} (available: groth16, stark)")
