@@ -179,13 +179,16 @@ class Groth16Operator:
 class StarkOperator:
     """Circle-STARK engine ("stark"), the stwo-equivalent backend
     (reference operator shape: js/src/stwo/operator.ts:87-181 — single
-    nonce, sequential counters, proof as base64 JSON payload)."""
+    nonce, sequential counters, proof as base64 JSON payload).
+    chacha20 uses the stream AIR (stark/prover.py); aes-128-ctr and
+    aes-256-ctr use the LogUp lookup AIR (stark/aes_prover.py)."""
+
+    ALGORITHMS = ("chacha20", "aes-128-ctr", "aes-256-ctr")
 
     def __init__(self, algorithm: str):
-        if algorithm != "chacha20":
+        if algorithm not in self.ALGORITHMS:
             raise ValueError(
-                f"stark engine supports chacha20 only (got {algorithm!r}); "
-                "the AES-CTR lookup AIR is the next milestone")
+                f"stark engine supports {self.ALGORITHMS} (got {algorithm!r})")
         self.algorithm = algorithm
 
     @staticmethod
@@ -199,10 +202,15 @@ class StarkOperator:
         return nonce, counter0
 
     def prove(self, wi: ZKProofInput) -> dict:
-        from .stark import prover as sp
         nonce, counter0 = self._check_blocks(wi.blocks)
-        proof = sp.prove_stream(wi.key, nonce, counter0,
-                                wi.plaintext, wi.ciphertext)
+        if self.algorithm == "chacha20":
+            from .stark import prover as sp
+            proof = sp.prove_stream(wi.key, nonce, counter0,
+                                    wi.plaintext, wi.ciphertext)
+        else:
+            from .stark import aes_prover as ap
+            proof = ap.prove_aes_ctr(wi.key, nonce, counter0,
+                                     wi.plaintext, wi.ciphertext)
         return proof.to_json_dict()
 
     def prove_batch(self, wis: list) -> list:
@@ -212,7 +220,6 @@ class StarkOperator:
         """public_bits: the engine-neutral signal vector from
         api.get_public_signals (per block: counter LE bits, nonce bits,
         ciphertext bits, plaintext bits) — decoded back to byte inputs."""
-        from .stark import prover as sp
         cfg = CONFIG[self.algorithm]
         bs = cfg.block_size_bytes
         per_block = 32 + 96 + 8 * bs + 8 * bs
@@ -243,9 +250,16 @@ class StarkOperator:
                     nonce, counter0 = nnc, ctr
                 elif nnc != nonce or ctr != counter0 + blk:
                     return False
-            proof = sp.StreamProof.from_json_dict(proof_data)
-            return sp.verify_stream(proof, nonce, counter0,
-                                    b"".join(pts), b"".join(cts))
+            if self.algorithm == "chacha20":
+                from .stark import prover as sp
+                proof = sp.StreamProof.from_json_dict(proof_data)
+                return sp.verify_stream(proof, nonce, counter0,
+                                        b"".join(pts), b"".join(cts))
+            from .stark import aes_prover as ap
+            proof = ap.AesProof.from_json_dict(proof_data)
+            return ap.verify_aes_ctr(proof, nonce, counter0,
+                                     b"".join(pts), b"".join(cts),
+                                     CONFIG[self.algorithm].key_size_bytes)
         except Exception:
             return False
 
