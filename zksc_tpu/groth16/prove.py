@@ -57,9 +57,14 @@ class ProverContext:
     """Precompiled device-side structures for one circuit: sparse matrices,
     NTT tables, and the proving key."""
 
-    def __init__(self, cs: ConstraintSystem, pk: ProvingKey):
+    def __init__(self, cs: ConstraintSystem, pk: ProvingKey, mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards every MSM's point-lane
+        axis over the devices (SURVEY §2.6 MSM data parallelism); proofs are
+        bit-identical to single-device runs because bucket sums are combined
+        exactly on host (EC group addition is associative)."""
         self.cs = cs
         self.pk = pk
+        self.mesh = mesh
         self.ntt = NTTContext(Fr, pk.domain_n)
         self.m_pad = int(pk.a_query.x.shape[-1])
         self.c_pad = int(pk.c_query.x.shape[-1])
@@ -166,13 +171,20 @@ class ProverContext:
                 priv_plain, ((0, 0), (0, 0),
                              (0, self.c_pad - priv_plain.shape[2])))
 
-        if self.m_pad >= 256:
-            # Pippenger bucket MSMs (sort + prefix-scan; ops/msm.py)
-            a_pts = msm.msm_pippenger(ec.G1_OPS, pk.a_query, z_plain, nb)
-            b1_pts = msm.msm_pippenger(ec.G1_OPS, pk.b_g1_query, z_plain, nb)
-            b2_pts = msm.msm_pippenger(ec.G2_OPS, pk.b_g2_query, z_plain, nb)
-            c_pts = msm.msm_pippenger(ec.G1_OPS, pk.c_query, priv_plain, nb)
-            h_pts = msm.msm_pippenger(ec.G1_OPS, pk.h_query, h_plain, 254)
+        if self.m_pad >= 256 or self.mesh is not None:
+            # Pippenger bucket MSMs (sort + prefix-scan; ops/msm.py); with a
+            # mesh, each MSM's lane axis is sharded across the devices
+            mh = self.mesh
+            a_pts = msm.msm_pippenger(ec.G1_OPS, pk.a_query, z_plain, nb,
+                                      mesh=mh)
+            b1_pts = msm.msm_pippenger(ec.G1_OPS, pk.b_g1_query, z_plain, nb,
+                                       mesh=mh)
+            b2_pts = msm.msm_pippenger(ec.G2_OPS, pk.b_g2_query, z_plain, nb,
+                                       mesh=mh)
+            c_pts = msm.msm_pippenger(ec.G1_OPS, pk.c_query, priv_plain, nb,
+                                      mesh=mh)
+            h_pts = msm.msm_pippenger(ec.G1_OPS, pk.h_query, h_plain, 254,
+                                      mesh=mh)
         else:
             # tiny circuits (unit tests): the batched ladder compiles faster
             z_bits = ec.scalars_to_bits(Fr, z_plain, nb)

@@ -110,7 +110,7 @@ class Groth16Operator:
     (generates keys on first use; pins the circuit digest)."""
 
     def __init__(self, algorithm: str, artifact_dir: str | None = None,
-                 allow_setup: bool = True):
+                 allow_setup: bool = True, mesh=None):
         from .groth16 import ProverContext, artifacts as art
         self.spec = CircuitSpec(algorithm)
         self.algorithm = algorithm
@@ -119,6 +119,16 @@ class Groth16Operator:
         self._allow_setup = allow_setup
         self._ctx = None
         self._vk = None
+        if mesh is None:
+            # opt-in multi-chip proving: ZKSC_MESH=all or a device count
+            env = os.environ.get("ZKSC_MESH", "")
+            if env:
+                import jax
+                from .parallel.mesh import make_mesh
+                n = len(jax.devices()) if env == "all" else int(env)
+                if n > 1:
+                    mesh = make_mesh(n)
+        self._mesh = mesh
 
     def _ensure_keys(self):
         if self._ctx is not None:
@@ -135,7 +145,7 @@ class Groth16Operator:
             raise FileNotFoundError(
                 f"no artifacts for {self.algorithm} under {self._dir} and "
                 "setup disabled")
-        self._ctx = ProverContext(cs, pk)
+        self._ctx = ProverContext(cs, pk, mesh=self._mesh)
         self._vk = vk
 
     def ensure_vk(self):
