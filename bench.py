@@ -18,12 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache_tpu" if jax.default_backend() != "cpu"
-                               else ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persistent compile cache only on TPU: XLA:CPU AOT results are host-CPU-
+# feature-specific and (de)serialization segfaults on big EC kernels
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 SNARKJS_CPU_BASELINE = float(os.environ.get("ZKSC_BASELINE_PROOFS_PER_SEC", "1.0"))
 
