@@ -227,6 +227,14 @@ class ProverContext:
         arr = np.zeros((k, self.m_pad), dtype=np.uint64)
         big_vals = None
         for j, wit in enumerate(witnesses):
+            wnp = np.asarray(wit)
+            if wnp.dtype == np.uint64:
+                # native-tape witnesses: already canonical uint64 (< 2^62),
+                # no per-element python conversion needed
+                arr[j, : wnp.shape[0]] = wnp
+                mx = int(wnp.max()) if wnp.size else 1
+                raw_bits = max(raw_bits, mx.bit_length(), 1)
+                continue
             vals = [int(v) % host.R for v in wit]
             rb = max((v.bit_length() for v in vals), default=1)
             raw_bits = max(raw_bits, rb, 1)

@@ -85,38 +85,48 @@ def _local_scan(fops, pts: JacPoint, S: int, inclusive: bool):
     totals [N//S]). One jac_add instance (fori body) regardless of N."""
     N = fops.lane_width(pts.x)
     C = N // S
-    L_first = pts.x.shape[0]
-
-    def to_tmajor(a):
-        # position-major [L, C*S] -> t-major [L, S*C] (lane t*C + c)
-        return a.reshape(a.shape[0], C, S).transpose(0, 2, 1).reshape(
-            a.shape[0], S * C)
-
-    def to_pmajor(a):
-        return a.reshape(a.shape[0], S, C).transpose(0, 2, 1).reshape(
-            a.shape[0], C * S)
-
-    tm = _jp(fops, to_tmajor, pts)
-    out0 = ec.jac_identity_batch(fops, (S * C,))
     acc0 = ec.jac_identity_batch(fops, (C,))
 
-    def body(t, carry):
-        out, acc = carry
-        sl = _jp(fops, lambda a: jax.lax.dynamic_slice_in_dim(a, t * C, C,
-                                                              axis=-1), tm)
-        summed = ec.jac_add(fops, acc, sl)
-        wr = summed if inclusive else acc
-        out = _jp2(fops, lambda o, v: jax.lax.dynamic_update_slice_in_dim(
-            o, v, t * C, axis=-1), out, wr)
-        return out, summed
+    # lax.scan with stacked ys: each step writes its [L, C] slice once
+    # (XLA-managed output buffer) instead of dynamic_update_slice'ing the
+    # full [L, S*C] carry — the full-buffer updates made this scan ~3.5x
+    # slower than its EC-add count.
+    def _ts(a):
+        # position-major [L, C*S] (lane = chunk*S + t) -> per-step [S, L, C]
+        return a.reshape(a.shape[0], C, S).transpose(2, 0, 1)
 
-    out, acc = jax.lax.fori_loop(0, S, body, (out0, acc0))
-    return _jp(fops, to_pmajor, out), acc
+    def _fs(a):
+        # [S, L, C] -> position-major [L, C*S]
+        return a.transpose(1, 2, 0).reshape(a.shape[1], C * S)
+
+    # _jp concatenates Fp2 component halves along the LAST axis, which for
+    # the [S, L, C] per-step layout is exactly the folded [c0 | c1] form the
+    # EC ops expect per step
+    xs = _jp(fops, _ts, pts)
+
+    def step(acc, sl):
+        summed = ec.jac_add(fops, acc, JacPoint(*sl))
+        wr = summed if inclusive else acc
+        return summed, (wr.x, wr.y, wr.z)
+
+    acc, ys = jax.lax.scan(step, acc0, (xs.x, xs.y, xs.z))
+
+    def from_steps(y):
+        if isinstance(fops, ec.Fp2Ops):
+            h = y.shape[-1] // 2
+            return jnp.concatenate([_fs(y[..., :h]), _fs(y[..., h:])],
+                                   axis=-1)
+        return _fs(y)
+
+    out = JacPoint(*(from_steps(y) for y in ys))
+    return out, acc
 
 
 def _hs_scan(fops, pts: JacPoint, exclusive: bool) -> JacPoint:
     """Global prefix scan via Hillis-Steele (log2(N) full-width adds); used
-    for the small top level of the hierarchy (and tiny inputs outright)."""
+    for the small top level of the hierarchy (and tiny inputs outright).
+    Strides stay STATIC (unrolled): a rolled fori with a dynamic jnp.roll
+    shift was measured to take XLA:CPU compile from ~1 min to ~8 min."""
     N = fops.lane_width(pts.x)
     iota = jnp.arange(N)
 
@@ -239,6 +249,39 @@ def _fixed_base_combine(fops, table: JacPoint, digits, c: int):
     return jax.lax.fori_loop(0, W, body, acc0)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _horner_combine(fops, sums: JacPoint, c: int, Wn: int, k: int,
+                    D: int) -> JacPoint:
+    """Device-side window combine: sum_w 2^{c*w} S_w per proof.
+
+    sums: JacPoint [L, D*k*Wn] — per-device partial window sums (lane
+    d*k*Wn + j*Wn + w). Returns JacPoint [L, k]. Doing the Horner ladder on
+    device replaces ~n_bits host bigint doublings per MSM (measured ~120 ms
+    for the 254-bit H query) with one tiny fori_loop dispatch."""
+    segs = k * Wn
+    # sum device partials (log2 tree over the device axis)
+    while D > 1:
+        half = D // 2
+        lo = _jp(fops, lambda a: a[:, : half * segs], sums)
+        hi = _jp(fops, lambda a: a[:, half * segs: 2 * half * segs], sums)
+        sums = ec.jac_add(fops, lo, hi)
+        D = half
+
+    lane = jnp.arange(k, dtype=jnp.int32) * Wn
+    acc = _jp(fops, lambda a: a[:, lane + (Wn - 1)], sums)
+
+    def body(i, acc):
+        w = Wn - 1 - i
+        # rolled doubling: ONE jac_double instance (an unrolled c-times body
+        # made XLA:CPU compile this combine for minutes)
+        acc = jax.lax.fori_loop(
+            0, c, lambda _, a: ec.jac_double(fops, a), acc)
+        sw = _jp(fops, lambda a: a[:, lane + w], sums)
+        return ec.jac_add(fops, acc, sw)
+
+    return jax.lax.fori_loop(1, Wn, body, acc)
+
+
 _FB_TABLES: dict = {}
 
 
@@ -357,8 +400,9 @@ def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
     for k independent scalar sets over the shared table.
 
     Returns a list of k host affine points (int tuples, None = identity).
-    The final window combine (Horner, ~n_bits doublings on ONE point) runs
-    on the host: a handful of big-int ops is cheaper than width-1 device ops.
+    The final window combine (Horner over windows) runs ON DEVICE in one
+    fori_loop dispatch (_horner_combine) — the previous host-bigint ladder
+    cost ~120 ms per 254-bit MSM; only the k final points cross to host.
     """
     from ..curve import bn254_host as host
 
@@ -378,22 +422,8 @@ def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
     else:
         sums = _window_sums(fops, points, digits, c, k, n)
 
+    assert D & (D - 1) == 0, "mesh size must be a power of two"
+    acc = _horner_combine(fops, sums, c, Wn, k, D)
     if isinstance(fops, ec.Fp2Ops):
-        aff = ec.g2_jac_to_host_affine(fops.F, sums, host.P)
-        add, dbl = host.g2_add, lambda p: host.g2_add(p, p)
-    else:
-        aff = ec.g1_jac_to_host_affine(fops.F, sums, host.P)
-        add, dbl = host.g1_add, lambda p: host.g1_add(p, p)
-
-    segs = k * Wn
-    out = []
-    for j in range(k):
-        acc = None
-        for w in range(Wn - 1, -1, -1):
-            if acc is not None:
-                for _ in range(c):
-                    acc = dbl(acc)
-            for d in range(D):                       # sum device partials
-                acc = add(acc, aff[d * segs + j * Wn + w])
-        out.append(acc)
-    return out
+        return ec.g2_jac_to_host_affine(fops.F, acc, host.P)[:k]
+    return ec.g1_jac_to_host_affine(fops.F, acc, host.P)[:k]

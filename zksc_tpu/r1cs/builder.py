@@ -266,7 +266,38 @@ def compile_circuit(define_fn, public_layout: list, private_layout: list) -> Con
 def generate_witness(define_fn, public_layout, private_layout,
                      public_values: dict, private_values: dict, batch: int) -> np.ndarray:
     """Run the circuit in witness mode. Values dicts: name -> array [count, batch]
-    (ints). Returns the full witness matrix [n_wires, batch] (object ints)."""
+    (ints). Returns the full witness matrix [n_wires, batch].
+
+    Fast path: the circuit is compiled once to a flat instruction tape and
+    executed natively (r1cs/tape.py + native/tape_exec.cc) when interval
+    analysis proves uint64 arithmetic suffices and all inputs are boolean —
+    true for the cipher circuits, where the Python builder costs ~0.5 s per
+    proof. Anything else (big-field TOPRF gadgets, missing toolchain) falls
+    back to the exact Python evaluation below."""
+    from .tape import build_tape
+    tape = build_tape(define_fn, public_layout, private_layout)
+    if tape is not None:
+        rows = []
+        ok = True
+        for name, count in list(public_layout) + list(private_layout):
+            vals = (public_values if name in public_values
+                    else private_values)[name]
+            assert len(vals) == count, f"{name}: {len(vals)} != {count}"
+            for i in range(count):
+                row = [int(v) for v in vals[i]]
+                if any(v < 0 or v > 1 for v in row):
+                    ok = False
+                    break
+                rows.append(row)
+            if not ok:
+                break
+        if ok:
+            try:
+                inputs = np.asarray(rows, dtype=np.uint64)
+                return tape.execute(inputs)
+            except RuntimeError:
+                pass   # native library unavailable -> Python fallback
+
     api = WitnessBuilder(batch)
     vars_ = {}
     for name, count in public_layout:
