@@ -439,6 +439,35 @@ def msm_double_and_add(fops, points: JacPoint, scalar_bits, n_bits: int,
     return _msm_multi_unfused(fops, points, bits3, n_bits, m)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _batch_scale_jit(fops, pts: JacPoint, n_bits: int, bits) -> JacPoint:
+    """acc_i = s * P_i for ONE shared scalar s over every lane (no reduction).
+    bits: uint32[n_bits], LSB first. Rolled MSB-first double-and-add: a single
+    jac_double + jac_add instance regardless of n_bits (compile-cheap)."""
+    n = fops.lane_width(pts.x)
+
+    def body(k, acc):
+        acc = jac_double(fops, acc)
+        summed = jac_add(fops, acc, pts)
+        take = jnp.broadcast_to(bits[n_bits - 1 - k] != 0, (n,))
+        return JacPoint(fops.select(take, summed.x, acc.x),
+                        fops.select(take, summed.y, acc.y),
+                        fops.select(take, summed.z, acc.z))
+
+    return jax.lax.fori_loop(0, n_bits, body, jac_identity_batch(fops, (n,)))
+
+
+def scale_points(fops, pts: JacPoint, scalar: int, n_bits: int = 254) -> JacPoint:
+    """Multiply EVERY lane of a point batch by the same host-known scalar.
+    Used by the setup ceremony (groth16/ceremony.py) to rerandomize the
+    delta-divided pk queries: h_query and c_query are scaled by 1/d on device
+    in one dispatch instead of n host scalar-mults."""
+    assert 0 <= scalar < (1 << n_bits), "scalar exceeds the ladder width"
+    bits = jnp.asarray([(scalar >> i) & 1 for i in range(n_bits)],
+                       dtype=jnp.uint32)
+    return _batch_scale_jit(fops, pts, n_bits, bits)
+
+
 def _tree_reduce_rolled(fops, pts: JacPoint) -> JacPoint:
     """Fixed-width reduction: log2(N) rounds of `pts + roll(pts, -stride)`,
     all at width N (single compiled jac_add). Lane 0 holds the total."""
