@@ -70,13 +70,42 @@ def test_chain_rejects_tampering(chain):
     _, (pk0, _), _, cons = chain
     import copy
     bad = copy.copy(cons[1])
-    # swap in an unrelated d_g2 (valid point, wrong scalar)
+    # swap in an unrelated d_g2 (valid point, wrong scalar) and recompute the
+    # transcript so the hash chain is consistent — the forgery must be caught
+    # by the PAIRING checks, not merely the hash chain
     bad.d_g2 = host.g2_mul(host.G2_GEN, 12345)
+    bad.transcript = bad.chain_hash(cons[0].transcript)
     assert not verify_chain(pk0.delta_g1, pk0.delta_g2,
-                            [cons[0], bad, cons[2]])
+                            [cons[0], bad])
     # transcript splice: drop a middle link
     assert not verify_chain(pk0.delta_g1, pk0.delta_g2,
                             [cons[0], cons[2]])
+    # identity-point contribution (d = 0): pairings are vacuous, so the
+    # point validation must reject it (ADVICE r3 soundness finding)
+    idc = copy.copy(cons[1])
+    idc.d_g1 = idc.d_g2 = None
+    idc.delta_g1_after = idc.delta_g2_after = None
+    idc.transcript = idc.chain_hash(cons[0].transcript)
+    assert not verify_chain(pk0.delta_g1, pk0.delta_g2, [cons[0], idc])
+    # out-of-subgroup G2 (on the twist, order != r) must be rejected
+    from test_groth16 import _find_twist_point_outside_subgroup
+    h = copy.copy(cons[1])
+    h.d_g2 = _find_twist_point_outside_subgroup()
+    h.transcript = h.chain_hash(cons[0].transcript)
+    assert not verify_chain(pk0.delta_g1, pk0.delta_g2, [cons[0], h])
+
+
+def test_chain_rejects_malformed_beacon(chain):
+    """Attacker-controlled beacon records must fail cleanly: huge n_iters
+    (DoS) and non-hex beacons return False instead of hanging/raising."""
+    import copy
+    _, (pk0, _), _, cons = chain
+    for bad_beacon in ("aa:64", "aa:-3", "zz:4", "aa", "aa:4:4x"):
+        b = copy.copy(cons[2])
+        b.beacon = bad_beacon
+        b.transcript = b.chain_hash(cons[1].transcript)
+        assert not verify_chain(pk0.delta_g1, pk0.delta_g2,
+                                [cons[0], cons[1], b])
     # beacon value must match the published d_g1
     bad3 = copy.copy(cons[2])
     bad3.beacon = "deadbeef:4"

@@ -159,6 +159,21 @@ def verify_chain(delta_g1_0, delta_g2_0, contributions: list,
     for i, con in enumerate(contributions):
         if con.chain_hash(prev_hex) != con.transcript:
             return False
+        # Untrusted points must be non-identity (a d=0 / delta=O record would
+        # vacuously satisfy the pairing checks below and drive delta to the
+        # point at infinity — a soundness break), canonical, on-curve, and —
+        # for G2, whose twist has a large cofactor — in the r-torsion
+        # subgroup. Mirrors snarkjs's non-identity + curve checks on
+        # contribution records.
+        for p1 in (con.d_g1, con.delta_g1_after):
+            if p1 is None or not host.g1_is_canonical(p1) \
+                    or not host.g1_is_on_curve(p1):
+                return False
+        for p2 in (con.d_g2, con.delta_g2_after):
+            if p2 is None or not host.g2_is_canonical(p2) \
+                    or not host.g2_is_on_curve(p2) \
+                    or not host.g2_in_subgroup(p2):
+                return False
         # same-d binding + both delta updates, as three pairing equations
         checks = [
             (con.d_g1, g2, g1, con.d_g2),
@@ -170,10 +185,19 @@ def verify_chain(delta_g1_0, delta_g2_0, contributions: list,
             if lhs != host.F12_ONE:
                 return False
         if con.kind == "beacon":
-            # recompute d from the public beacon and check d_g1
-            bhex, n_iters = con.beacon.rsplit(":", 1)
-            cur = bytes.fromhex(bhex)
-            for _ in range(1 << int(n_iters)):
+            # Recompute d from the public beacon and check d_g1. The record
+            # is untrusted: malformed hex/iteration fields must return False
+            # (not raise), and n_iters is capped so an attacker-supplied
+            # record can't make the verifier grind 2^64 hashes (DoS).
+            try:
+                bhex, n_iters_s = con.beacon.rsplit(":", 1)
+                n_iters = int(n_iters_s)
+                cur = bytes.fromhex(bhex)
+            except (ValueError, AttributeError):
+                return False
+            if not (0 <= n_iters <= 40):
+                return False
+            for _ in range(1 << n_iters):
                 cur = hashlib.sha256(cur).digest()
             d = (int.from_bytes(cur + hashlib.sha256(cur).digest(), "big")
                  % (host.R - 1)) + 1
