@@ -47,17 +47,23 @@ def _witness(cs, x):
 
 
 def test_mesh_proof_equals_single_device_proof(artifacts):
+    """Sharded-Pippenger prove (force_pippenger routes the tiny circuit to
+    the production bucket MSMs under shard_map) must be bit-identical to the
+    single-device ladder proof of the same witness + rng."""
     cs, pk, vk = artifacts
     w, pub = _witness(cs, x=9)
     rng1, rng8 = random.Random(31), random.Random(31)
     p1 = ProverContext(cs, pk).prove(w, rng=lambda: rng1.randrange(host.R))
-    p8 = ProverContext(cs, pk, mesh=make_mesh(8)).prove(
+    p8 = ProverContext(cs, pk, mesh=make_mesh(8),
+                       force_pippenger=True).prove(
         w, rng=lambda: rng8.randrange(host.R))
     assert (p1.a, p1.b, p1.c) == (p8.a, p8.b, p8.c)
     assert verify(vk, p8, pub)
 
 
-def test_mesh_proof_verifies_with_fresh_randomness(artifacts):
+def test_mesh_ladder_proof_verifies(artifacts):
+    """The mesh-sharded fused-ladder path (what the driver's dryrun runs for
+    tiny circuits) proves and verifies; tampered public input fails."""
     cs, pk, vk = artifacts
     w, pub = _witness(cs, x=5)
     p = ProverContext(cs, pk, mesh=make_mesh(4)).prove(w)

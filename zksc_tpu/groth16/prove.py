@@ -53,18 +53,35 @@ class Proof:
         return cls(a, b, c)
 
 
+@functools.partial(jax.jit, static_argnums=2)
+def _expand_u64_limbs(lo, hi, L: int):
+    """(lo, hi) u32 planes of a u64 value array -> [L, *shape] 16-bit limb
+    stack (plain, non-Montgomery)."""
+    limbs = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+    zero = jnp.zeros_like(lo)
+    return jnp.stack(limbs + [zero] * (L - 4)).astype(jnp.uint32)
+
+
 class ProverContext:
     """Precompiled device-side structures for one circuit: sparse matrices,
     NTT tables, and the proving key."""
 
-    def __init__(self, cs: ConstraintSystem, pk: ProvingKey, mesh=None):
+    def __init__(self, cs: ConstraintSystem, pk: ProvingKey, mesh=None,
+                 force_pippenger: bool = False):
         """mesh: optional jax.sharding.Mesh — shards every MSM's point-lane
         axis over the devices (SURVEY §2.6 MSM data parallelism); proofs are
-        bit-identical to single-device runs because bucket sums are combined
-        exactly on host (EC group addition is associative)."""
+        bit-identical to single-device runs because EC group addition is
+        exact and associative, so the partition of the lane axis cannot
+        change the result.
+
+        force_pippenger: use the bucket MSMs even for tiny circuits (the
+        default routes m_pad < 256 to the ladder, whose rolled-loop kernels
+        compile in ~1 min on XLA:CPU where the bucket kernels take >30 min
+        for sharded tiny shapes — measured; see __graft_entry__)."""
         self.cs = cs
         self.pk = pk
         self.mesh = mesh
+        self.force_pippenger = force_pippenger
         self.ntt = NTTContext(Fr, pk.domain_n)
         self.m_pad = int(pk.a_query.x.shape[-1])
         self.c_pad = int(pk.c_query.x.shape[-1])
@@ -132,10 +149,9 @@ class ProverContext:
             # python-loop limb packing costs seconds per proof otherwise
             arr = np.zeros(self.m_pad, dtype=np.uint64)
             arr[: len(vals)] = vals
-            z_plain = jnp.asarray(np.stack(
-                [(arr >> (16 * k)).astype(np.uint32) & 0xFFFF if k < 4
-                 else np.zeros(self.m_pad, dtype=np.uint32)
-                 for k in range(Fr.L)]))
+            z_plain = _expand_u64_limbs(
+                jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray((arr >> 32).astype(np.uint32)), Fr.L)
         else:
             z_plain = Fr.to_device(vals + [0] * (self.m_pad - len(vals)),
                                    mont=False)
@@ -171,30 +187,66 @@ class ProverContext:
                 priv_plain, ((0, 0), (0, 0),
                              (0, self.c_pad - priv_plain.shape[2])))
 
-        if self.m_pad >= 256 or self.mesh is not None:
+        if self.m_pad >= 256 or self.force_pippenger:
             # Pippenger bucket MSMs (sort + prefix-scan; ops/msm.py); with a
-            # mesh, each MSM's lane axis is sharded across the devices
+            # mesh, each MSM's lane axis is sharded across the devices.
+            # All five launch before any host sync: only the affine
+            # conversions below read back, so the device queues the MSM
+            # programs back-to-back.
             mh = self.mesh
-            a_pts = msm.msm_pippenger(ec.G1_OPS, pk.a_query, z_plain, nb,
-                                      mesh=mh)
-            b1_pts = msm.msm_pippenger(ec.G1_OPS, pk.b_g1_query, z_plain, nb,
-                                       mesh=mh)
-            b2_pts = msm.msm_pippenger(ec.G2_OPS, pk.b_g2_query, z_plain, nb,
-                                       mesh=mh)
-            c_pts = msm.msm_pippenger(ec.G1_OPS, pk.c_query, priv_plain, nb,
-                                      mesh=mh)
-            h_pts = msm.msm_pippenger(ec.G1_OPS, pk.h_query, h_plain, 254,
-                                      mesh=mh)
+            a_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.a_query, z_plain,
+                                             nb, mesh=mh)
+            b1_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.b_g1_query,
+                                              z_plain, nb, mesh=mh)
+            b2_dev = msm.msm_pippenger_device(ec.G2_OPS, pk.b_g2_query,
+                                              z_plain, nb, mesh=mh)
+            c_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.c_query,
+                                             priv_plain, nb, mesh=mh)
+            h_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.h_query, h_plain,
+                                             254, mesh=mh)
+            a_pts = msm.msm_to_host_affine(ec.G1_OPS, a_dev, k)
+            b1_pts = msm.msm_to_host_affine(ec.G1_OPS, b1_dev, k)
+            b2_pts = msm.msm_to_host_affine(ec.G2_OPS, b2_dev, k)
+            c_pts = msm.msm_to_host_affine(ec.G1_OPS, c_dev, k)
+            h_pts = msm.msm_to_host_affine(ec.G1_OPS, h_dev, k)
         else:
-            # tiny circuits (unit tests): the batched ladder compiles faster
+            # Tiny circuits (unit tests, the driver's multi-chip dryrun):
+            # batched double-and-add ladders. With a mesh, every query's
+            # lane axis is sharded and ALL bit counts pad to 254 so the
+            # whole prove compiles exactly TWO rolled ladder kernels (one
+            # G1, one G2) — fused rolled loops compile in ~1-2 min on
+            # XLA:CPU vs >30 min for the sharded bucket kernels, and the
+            # per-bit eager ladder would pay ~400 sharded dispatches.
+            aq, b1q, b2q, cq, hq = (pk.a_query, pk.b_g1_query,
+                                    pk.b_g2_query, pk.c_query, pk.h_query)
+            fused = None
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_jac
+                nb = 254
+                fused = True
+                aq, b1q, cq, hq = (shard_jac(q, self.mesh)
+                                   for q in (aq, b1q, cq, hq))
+                b2q = shard_jac(b2q, self.mesh)
             z_bits = ec.scalars_to_bits(Fr, z_plain, nb)
             priv_bits = ec.scalars_to_bits(Fr, priv_plain, nb)
             h_bits = ec.scalars_to_bits(Fr, h_plain, 254)
-            a_msm = ec.msm_double_and_add(ec.G1_OPS, pk.a_query, z_bits, nb)
-            b1_msm = ec.msm_double_and_add(ec.G1_OPS, pk.b_g1_query, z_bits, nb)
-            b2_msm = ec.msm_double_and_add(ec.G2_OPS, pk.b_g2_query, z_bits, nb)
-            c_msm = ec.msm_double_and_add(ec.G1_OPS, pk.c_query, priv_bits, nb)
-            h_msm = ec.msm_double_and_add(ec.G1_OPS, pk.h_query, h_bits, 254)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import SHARD_AXIS
+                bsh = NamedSharding(self.mesh, P(None, None, SHARD_AXIS))
+                z_bits, priv_bits, h_bits = (
+                    jax.device_put(b, bsh)
+                    for b in (z_bits, priv_bits, h_bits))
+            a_msm = ec.msm_double_and_add(ec.G1_OPS, aq, z_bits, nb,
+                                          fused=fused)
+            b1_msm = ec.msm_double_and_add(ec.G1_OPS, b1q, z_bits, nb,
+                                           fused=fused)
+            b2_msm = ec.msm_double_and_add(ec.G2_OPS, b2q, z_bits, nb,
+                                           fused=fused)
+            c_msm = ec.msm_double_and_add(ec.G1_OPS, cq, priv_bits, nb,
+                                          fused=fused)
+            h_msm = ec.msm_double_and_add(ec.G1_OPS, hq, h_bits, 254,
+                                          fused=fused)
             a_pts = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[:k]
             b1_pts = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[:k]
             b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
@@ -246,10 +298,13 @@ class ProverContext:
                 big_vals[j] = vals
         n_bits = next(b for b in (40, 64, 128, 254) if raw_bits <= b)
         if big_vals is None:
-            z_plain = jnp.asarray(np.stack(
-                [(arr >> (16 * kk)).astype(np.uint32) & 0xFFFF if kk < 4
-                 else np.zeros((k, self.m_pad), dtype=np.uint32)
-                 for kk in range(Fr.L)]))
+            # ship the COMPACT u64 witness as two u32 planes (0.5 MB for the
+            # chacha chunk) and split limbs on device — transferring the
+            # expanded [L, k, m_pad] limb stack cost ~0.5 s of host->device
+            # bandwidth per proof on the tunneled TPU (profiled)
+            lo = jnp.asarray((arr & 0xFFFFFFFF).astype(np.uint32))
+            hi = jnp.asarray((arr >> 32).astype(np.uint32))
+            z_plain = _expand_u64_limbs(lo, hi, Fr.L)
         else:
             cols = []
             for j in range(k):
@@ -266,12 +321,12 @@ class ProverContext:
     @functools.partial(jax.jit, static_argnums=0)
     def _h_pipeline_batch(self, z_mont, mats):
         """Batched quotient: z_mont [L, k, m_pad] -> h [L, k, n] plain limbs
-        (bit-reversed coefficient order, matching the h_query layout)."""
-        k = z_mont.shape[1]
-        outs = []
-        for j in range(k):
-            outs.append(self._h_core(z_mont[:, j, :], mats))
-        return jnp.stack(outs, axis=1)                  # [L, k, n] plain
+        (bit-reversed coefficient order, matching the h_query layout).
+        vmapped over the proof axis — one traced/compiled program regardless
+        of k (a python loop here made compile time scale linearly with the
+        batch size)."""
+        return jax.vmap(lambda z: self._h_core(z, mats),
+                        in_axes=1, out_axes=1)(z_mont)
 
     def _h_core(self, z_mont_1, mats):
         az = self._matvec(mats[0], z_mont_1)
