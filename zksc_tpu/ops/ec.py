@@ -139,7 +139,15 @@ class Fp2Ops:
 
     def select(self, cond, a, b):
         if cond.shape[-1] * 2 == a.shape[-1]:
-            cond = jnp.concatenate([cond, cond], axis=-1)
+            # select per component half and concat the uint32 results:
+            # concatenating the i1 mask itself is not implemented in Mosaic
+            # ("tpu.concatenate ... vector<...xi1>"), and this form is
+            # equivalent everywhere else
+            n = cond.shape[-1]
+            c = cond[None]
+            return jnp.concatenate(
+                [jnp.where(c, a[..., :n], b[..., :n]),
+                 jnp.where(c, a[..., n:], b[..., n:])], axis=-1)
         return jnp.where(cond[None], a, b)
 
     def is_zero(self, a):

@@ -82,9 +82,45 @@ def scalars_to_digits(scalars_plain, c: int, n_windows: int):
 def _local_scan(fops, pts: JacPoint, S: int, inclusive: bool):
     """Chunk-local prefix scan along lanes: view [N] as [N//S chunks, S],
     scan within each chunk. Returns (scanned [N] position-major, chunk
-    totals [N//S]). One jac_add instance (fori body) regardless of N."""
+    totals [N//S]).
+
+    TPU fast path: a Pallas kernel (pallas_ec.chunk_scan) that keeps the
+    whole jac_add dataflow in VMEM per lane tile — the XLA lax.scan below
+    materializes the Montgomery pad-accumulators to HBM every step and was
+    profiled ~10x slower. XLA path remains for CPU and odd shapes; both
+    produce identical limbs."""
     N = fops.lane_width(pts.x)
     C = N // S
+
+    from . import pallas_ec
+    if pallas_ec.use_pallas() and C % pallas_ec.tile_for(fops) == 0:
+        def ts(a):
+            return a.reshape(a.shape[0], C, S).transpose(2, 0, 1)
+
+        def fs(a):
+            return a.transpose(1, 2, 0).reshape(a.shape[1], C * S)
+
+        if isinstance(fops, ec.Fp2Ops):
+            raws = []
+            for a in (pts.x, pts.y, pts.z):
+                h = a.shape[-1] // 2
+                raws += [a[..., :h], a[..., h:]]
+        else:
+            raws = [pts.x, pts.y, pts.z]
+        ys, carry = pallas_ec.chunk_scan(fops, [ts(a) for a in raws],
+                                         S, inclusive)
+        ys_pm = [fs(y) for y in ys]
+        if isinstance(fops, ec.Fp2Ops):
+            fold = lambda arrs: jnp.concatenate(arrs, axis=-1)
+            out = JacPoint(fold(ys_pm[0:2]), fold(ys_pm[2:4]),
+                           fold(ys_pm[4:6]))
+            acc = JacPoint(fold(carry[0:2]), fold(carry[2:4]),
+                           fold(carry[4:6]))
+        else:
+            out = JacPoint(*ys_pm)
+            acc = JacPoint(*carry)
+        return out, acc
+
     acc0 = ec.jac_identity_batch(fops, (C,))
 
     # lax.scan with stacked ys: each step writes its [L, C] slice once
@@ -150,6 +186,16 @@ _SCAN_S = 16          # chunk width per hierarchy level
 _HS_MAX = 8192        # switch to Hillis-Steele at/below this width
 
 
+def _add_wide(fops, P: JacPoint, Q: JacPoint, complete: bool) -> JacPoint:
+    """Elementwise point add, routed to the VMEM-resident Pallas kernel when
+    the lane count tiles (TPU); XLA otherwise. Identical results."""
+    from . import pallas_ec
+    n = fops.lane_width(P.x)
+    if pallas_ec.use_pallas() and n % pallas_ec.tile_for(fops) == 0:
+        return pallas_ec.jac_add_n(fops, P, Q, complete=complete)
+    return (ec.jac_add if complete else ec.jac_add_incomplete)(fops, P, Q)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _window_sums(fops, points: JacPoint, digits, c: int, k: int, n: int):
     """Per-(proof, window) bucket-method sums.
@@ -197,8 +243,8 @@ def _window_sums(fops, points: JacPoint, digits, c: int, k: int, n: int):
     for e, st in levels:
         lim = fops.lane_width(e.x) - 1
         ep = jnp.clip(pos // st, 0, lim)
-        V = ec.jac_add_incomplete(fops, V,
-                                  _jp(fops, lambda a: a[:, ep], e))
+        V = _add_wide(fops, V, _jp(fops, lambda a: a[:, ep], e),
+                      complete=False)
 
     # subtract the segment prefix (all points of earlier segments): for
     # segment s > 0 that's V_global at position s*n - 1; identity for s == 0
@@ -213,7 +259,7 @@ def _window_sums(fops, points: JacPoint, digits, c: int, k: int, n: int):
     Pre = JacPoint(Pre.x, fops.neg(Pre.y),
                    fops.select(first_seg, fops.zeros_like(Pre.z), Pre.z))
     PreT = _jp(fops, lambda a: jnp.tile(a, (1, two_c)), Pre)
-    T = ec.jac_add_incomplete(fops, V, PreT)
+    T = _add_wide(fops, V, PreT, complete=False)
 
     # mask: empty prefix (cnt == 0) and the digit-0 bucket (q == 2^c - 1)
     q_flat = jnp.repeat(jnp.arange(two_c), segs)
@@ -229,7 +275,7 @@ def _window_sums(fops, points: JacPoint, digits, c: int, k: int, n: int):
         half //= 2
         lo = _jp(fops, lambda a: a[:, : half * segs], T)
         hi = _jp(fops, lambda a: a[:, half * segs: 2 * half * segs], T)
-        T = ec.jac_add(fops, lo, hi)
+        T = _add_wide(fops, lo, hi, complete=True)
     return T                                                       # [L, segs]
 
 
@@ -391,21 +437,13 @@ def _window_sums_sharded(fops, points: JacPoint, digits, c: int, k: int,
     return f(points, digits)                     # [L, D * segs]
 
 
-def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
-                  c: int | None = None, mesh=None) -> list:
-    """MSM sum_i s_i * P_i via the windowed bucket method.
-
-    points: JacPoint [L, n] (Montgomery limb form). scalars_plain: plain
-    (non-Montgomery) 16-bit limbs uint32 [L, n] for one MSM or [L, k, n]
-    for k independent scalar sets over the shared table.
-
-    Returns a list of k host affine points (int tuples, None = identity).
-    The final window combine (Horner over windows) runs ON DEVICE in one
-    fori_loop dispatch (_horner_combine) — the previous host-bigint ladder
-    cost ~120 ms per 254-bit MSM; only the k final points cross to host.
-    """
-    from ..curve import bn254_host as host
-
+def msm_pippenger_device(fops, points: JacPoint, scalars_plain, n_bits: int,
+                         c: int | None = None, mesh=None) -> JacPoint:
+    """Device half of the bucket MSM: returns the k results as a JacPoint
+    [L, k] WITHOUT synchronizing to host. Callers that run several MSMs
+    (the Groth16 prover runs five) launch them all, then convert — the
+    conversions' device->host reads are the only sync points, so the MSM
+    programs queue back-to-back on the device."""
     single = scalars_plain.ndim == 2
     sp = scalars_plain[:, None, :] if single else scalars_plain
     k, n = int(sp.shape[1]), int(sp.shape[2])
@@ -423,7 +461,29 @@ def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
         sums = _window_sums(fops, points, digits, c, k, n)
 
     assert D & (D - 1) == 0, "mesh size must be a power of two"
-    acc = _horner_combine(fops, sums, c, Wn, k, D)
+    return _horner_combine(fops, sums, c, Wn, k, D)
+
+
+def msm_to_host_affine(fops, acc: JacPoint, k: int) -> list:
+    from ..curve import bn254_host as host
     if isinstance(fops, ec.Fp2Ops):
         return ec.g2_jac_to_host_affine(fops.F, acc, host.P)[:k]
     return ec.g1_jac_to_host_affine(fops.F, acc, host.P)[:k]
+
+
+def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
+                  c: int | None = None, mesh=None) -> list:
+    """MSM sum_i s_i * P_i via the windowed bucket method.
+
+    points: JacPoint [L, n] (Montgomery limb form). scalars_plain: plain
+    (non-Montgomery) 16-bit limbs uint32 [L, n] for one MSM or [L, k, n]
+    for k independent scalar sets over the shared table.
+
+    Returns a list of k host affine points (int tuples, None = identity).
+    The final window combine (Horner over windows) runs ON DEVICE in one
+    fori_loop dispatch (_horner_combine) — the previous host-bigint ladder
+    cost ~120 ms per 254-bit MSM; only the k final points cross to host.
+    """
+    k = int(scalars_plain.shape[1]) if scalars_plain.ndim == 3 else 1
+    acc = msm_pippenger_device(fops, points, scalars_plain, n_bits, c, mesh)
+    return msm_to_host_affine(fops, acc, k)
