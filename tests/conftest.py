@@ -29,7 +29,8 @@ def pytest_collection_modifyitems(config, items):
     process that has already JITed dozens of other kernels (observed
     reproducibly at ~70 tests in; every module passes when compiled early
     or solo). Fresh-process compile order dodges the bug."""
-    heavy = ("test_prove_batch", "test_groth16", "test_ec")
+    heavy = ("test_prove_mesh", "test_prove_batch", "test_groth16",
+             "test_ec")
 
     def rank(item):
         name = item.module.__name__ if item.module else ""

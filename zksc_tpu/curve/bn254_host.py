@@ -417,3 +417,104 @@ def multi_pairing(pairs) -> tuple:
 # import-time sanity: generators on curve
 assert g1_is_on_curve(G1_GEN)
 assert g2_is_on_curve(G2_GEN), "G2 generator constants wrong"
+
+
+# ---- host Jacobian arithmetic (no per-op field inversions) ----
+# Used for the MSM window combine: ~250 sequential doublings are ~10x
+# faster in python-int Jacobian coordinates than with the affine add above
+# (which pays a modular inverse per operation).
+
+def _jach_ops(g2: bool):
+    if g2:
+        return f2_add, f2_sub, f2_mul, f2_sqr, f2_neg, F2_ONE
+    return ((lambda a, b: (a + b) % P), (lambda a, b: (a - b) % P),
+            (lambda a, b: a * b % P), (lambda a: a * a % P),
+            (lambda a: (-a) % P), 1)
+
+
+def jac_double_host(pt, g2: bool = False):
+    """Jacobian double; pt = (X, Y, Z) or None (identity). a = 0 curve."""
+    if pt is None:
+        return None
+    add, sub, mul, sqr, neg, one = _jach_ops(g2)
+    X, Y, Z = pt
+    A = sqr(X)
+    B = sqr(Y)
+    C = sqr(B)
+    D = sub(sqr(add(X, B)), add(A, C))
+    D = add(D, D)
+    E = add(add(A, A), A)
+    F = sqr(E)
+    X3 = sub(F, add(D, D))
+    Y3 = sub(mul(E, sub(D, X3)), add(add(add(C, C), add(C, C)),
+                                     add(add(C, C), add(C, C))))
+    Z3 = mul(add(Y, Y), Z)
+    return (X3, Y3, Z3)
+
+
+def jac_add_host(p1, p2, g2: bool = False):
+    """Jacobian complete add (handles identity and doubling)."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    add, sub, mul, sqr, neg, one = _jach_ops(g2)
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    Z1Z1 = sqr(Z1)
+    Z2Z2 = sqr(Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(mul(Y1, Z2), Z2Z2)
+    S2 = mul(mul(Y2, Z1), Z1Z1)
+    if U1 == U2:
+        if S1 == S2:
+            return jac_double_host(p1, g2)
+        return None
+    H = sub(U2, U1)
+    I = sqr(add(H, H))
+    J = mul(H, I)
+    r = add(sub(S2, S1), sub(S2, S1))
+    V = mul(U1, I)
+    X3 = sub(sub(sqr(r), J), add(V, V))
+    Y3 = sub(mul(r, sub(V, X3)), add(mul(S1, J), mul(S1, J)))
+    Z3 = mul(sub(sqr(add(Z1, Z2)), add(Z1Z1, Z2Z2)), H)
+    return (X3, Y3, Z3)
+
+
+def jac_from_affine_host(pt, g2: bool = False):
+    if pt is None:
+        return None
+    _, _, _, _, _, one = _jach_ops(g2)
+    return (pt[0], pt[1], one)
+
+
+def jac_to_affine_host(pt, g2: bool = False):
+    if pt is None:
+        return None
+    X, Y, Z = pt
+    if g2:
+        if Z == (0, 0):
+            return None
+        zi = f2_inv(Z)
+        zi2 = f2_sqr(zi)
+        return (f2_mul(X, zi2), f2_mul(Y, f2_mul(zi2, zi)))
+    if Z == 0:
+        return None
+    zi = pow(Z, -1, P)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
+
+
+def combine_windows_host(window_points: list, c: int, g2: bool = False):
+    """sum_w 2^(c*w) * S_w for host affine window sums [S_0..S_{W-1}]
+    (None = identity): Horner from the top window in Jacobian coords.
+    Returns host affine (or None)."""
+    acc = None
+    for S in reversed(window_points):
+        if acc is not None:
+            for _ in range(c):
+                acc = jac_double_host(acc, g2)
+        S_j = jac_from_affine_host(S, g2)
+        acc = jac_add_host(acc, S_j, g2) if acc is not None else S_j
+    return jac_to_affine_host(acc, g2)

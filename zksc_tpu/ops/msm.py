@@ -295,39 +295,6 @@ def _fixed_base_combine(fops, table: JacPoint, digits, c: int):
     return jax.lax.fori_loop(0, W, body, acc0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-def _horner_combine(fops, sums: JacPoint, c: int, Wn: int, k: int,
-                    D: int) -> JacPoint:
-    """Device-side window combine: sum_w 2^{c*w} S_w per proof.
-
-    sums: JacPoint [L, D*k*Wn] — per-device partial window sums (lane
-    d*k*Wn + j*Wn + w). Returns JacPoint [L, k]. Doing the Horner ladder on
-    device replaces ~n_bits host bigint doublings per MSM (measured ~120 ms
-    for the 254-bit H query) with one tiny fori_loop dispatch."""
-    segs = k * Wn
-    # sum device partials (log2 tree over the device axis)
-    while D > 1:
-        half = D // 2
-        lo = _jp(fops, lambda a: a[:, : half * segs], sums)
-        hi = _jp(fops, lambda a: a[:, half * segs: 2 * half * segs], sums)
-        sums = ec.jac_add(fops, lo, hi)
-        D = half
-
-    lane = jnp.arange(k, dtype=jnp.int32) * Wn
-    acc = _jp(fops, lambda a: a[:, lane + (Wn - 1)], sums)
-
-    def body(i, acc):
-        w = Wn - 1 - i
-        # rolled doubling: ONE jac_double instance (an unrolled c-times body
-        # made XLA:CPU compile this combine for minutes)
-        acc = jax.lax.fori_loop(
-            0, c, lambda _, a: ec.jac_double(fops, a), acc)
-        sw = _jp(fops, lambda a: a[:, lane + w], sums)
-        return ec.jac_add(fops, acc, sw)
-
-    return jax.lax.fori_loop(1, Wn, body, acc)
-
-
 _FB_TABLES: dict = {}
 
 
@@ -437,13 +404,25 @@ def _window_sums_sharded(fops, points: JacPoint, digits, c: int, k: int,
     return f(points, digits)                     # [L, D * segs]
 
 
+class MsmPending:
+    """In-flight bucket MSM: the per-(device, proof, window) sums live on
+    device; the tiny window combine happens at msm_to_host_affine time in
+    host Jacobian bigints (~2 ms for W=20, vs 74 ms for the device Horner
+    fori, which is latency-bound at one lane per proof)."""
+
+    __slots__ = ("sums", "c", "Wn", "k", "D")
+
+    def __init__(self, sums, c, Wn, k, D):
+        self.sums, self.c, self.Wn, self.k, self.D = sums, c, Wn, k, D
+
+
 def msm_pippenger_device(fops, points: JacPoint, scalars_plain, n_bits: int,
-                         c: int | None = None, mesh=None) -> JacPoint:
-    """Device half of the bucket MSM: returns the k results as a JacPoint
-    [L, k] WITHOUT synchronizing to host. Callers that run several MSMs
-    (the Groth16 prover runs five) launch them all, then convert — the
-    conversions' device->host reads are the only sync points, so the MSM
-    programs queue back-to-back on the device."""
+                         c: int | None = None, mesh=None) -> MsmPending:
+    """Device half of the bucket MSM: returns an MsmPending whose window
+    sums stay on device, WITHOUT synchronizing to host. Callers that run
+    several MSMs (the Groth16 prover runs five) launch them all, then
+    convert — the conversions' device->host reads are the only sync points,
+    so the MSM programs queue back-to-back on the device."""
     single = scalars_plain.ndim == 2
     sp = scalars_plain[:, None, :] if single else scalars_plain
     k, n = int(sp.shape[1]), int(sp.shape[2])
@@ -461,14 +440,33 @@ def msm_pippenger_device(fops, points: JacPoint, scalars_plain, n_bits: int,
         sums = _window_sums(fops, points, digits, c, k, n)
 
     assert D & (D - 1) == 0, "mesh size must be a power of two"
-    return _horner_combine(fops, sums, c, Wn, k, D)
+    return MsmPending(sums, c, Wn, k, D)
 
 
-def msm_to_host_affine(fops, acc: JacPoint, k: int) -> list:
+def msm_to_host_affine(fops, pending: MsmPending, k: int) -> list:
+    """Finalize an MsmPending: pull the [L, D*k*Wn] window sums (lane
+    d*k*Wn + j*Wn + w), host-add the per-device partials (exact group
+    math — the partition cannot change the result), then Horner-combine
+    windows in host Jacobian coordinates."""
     from ..curve import bn254_host as host
-    if isinstance(fops, ec.Fp2Ops):
-        return ec.g2_jac_to_host_affine(fops.F, acc, host.P)[:k]
-    return ec.g1_jac_to_host_affine(fops.F, acc, host.P)[:k]
+
+    g2 = isinstance(fops, ec.Fp2Ops)
+    conv = ec.g2_jac_to_host_affine if g2 else ec.g1_jac_to_host_affine
+    pts = conv(fops.F, pending.sums, host.P)
+    c, Wn, D = pending.c, pending.Wn, pending.D
+    out = []
+    for j in range(k):
+        wins = []
+        for w in range(Wn):
+            acc = None
+            for d in range(D):
+                p = pts[(d * pending.k + j) * Wn + w]
+                if p is not None:
+                    acc = host.jac_add_host(
+                        acc, host.jac_from_affine_host(p, g2), g2)
+            wins.append(host.jac_to_affine_host(acc, g2))
+        out.append(host.combine_windows_host(wins, c, g2=g2))
+    return out
 
 
 def msm_pippenger(fops, points: JacPoint, scalars_plain, n_bits: int,
