@@ -518,3 +518,19 @@ def combine_windows_host(window_points: list, c: int, g2: bool = False):
         S_j = jac_from_affine_host(S, g2)
         acc = jac_add_host(acc, S_j, g2) if acc is not None else S_j
     return jac_to_affine_host(acc, g2)
+
+
+def jac_mul_host(pt_affine, k: int, g2: bool = False):
+    """k * P in host Jacobian coords (MSB-first double-and-add); pt_affine
+    host affine or None. Returns Jacobian (or None)."""
+    if pt_affine is None or k % R == 0:
+        return None
+    k %= R
+    P_j = jac_from_affine_host(pt_affine, g2)
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = jac_double_host(acc, g2)
+        if bit == "1":
+            acc = jac_add_host(acc, P_j, g2) if acc is not None else P_j
+    return acc

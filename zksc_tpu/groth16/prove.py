@@ -82,6 +82,7 @@ class ProverContext:
         self.pk = pk
         self.mesh = mesh
         self.force_pippenger = force_pippenger
+        self._b2_host_pts = None     # lazy host copy of b_g2_query (tiny cs)
         self.ntt = NTTContext(Fr, pk.domain_n)
         self.m_pad = int(pk.a_query.x.shape[-1])
         self.c_pad = int(pk.c_query.x.shape[-1])
@@ -131,6 +132,21 @@ class ProverContext:
         h_br = ntt.coeffs_br_from_coset_evals(h_cs)
         h_plain = Fr.from_mont(h_br)
         return ec.scalars_to_bits(Fr, h_plain, 254)
+
+    def _b2_msm_host(self, witness):
+        """sum_i z_i * B2_i on host Jacobian bigints (tiny circuits only —
+        see the host_b2 comment in prove_batch). Returns host affine."""
+        g = host
+        if self._b2_host_pts is None:
+            self._b2_host_pts = ec.g2_jac_to_host_affine(
+                Fp, self.pk.b_g2_query, g.P)
+        acc = None
+        for v, Q in zip(witness, self._b2_host_pts):
+            v = int(v) % g.R
+            if Q is None or v == 0:
+                continue
+            acc = g.jac_add_host(acc, g.jac_mul_host(Q, v, g2=True), g2=True)
+        return g.jac_to_affine_host(acc, g2=True)
 
     def witness_to_device(self, witness: np.ndarray):
         """Host witness ints [n_wires] -> (z_mont [L, m_pad], z_bits, n_bits).
@@ -187,6 +203,15 @@ class ProverContext:
                 priv_plain, ((0, 0), (0, 0),
                              (0, self.c_pad - priv_plain.shape[2])))
 
+        # G2 MSM on HOST for tiny circuits: the device G2 kernels are the
+        # largest graphs in the build (the fused ladder costs ~2 min of
+        # XLA:CPU compile; the sharded bucket kernels have crashed LLVM) and
+        # a <=64-point host Jacobian MSM is ~0.1 s with zero compile. Exact
+        # group math — identical proofs either way.
+        host_b2 = self.m_pad <= 64
+        if host_b2:
+            b2_pts = [self._b2_msm_host(w) for w in witnesses]
+
         if self.m_pad >= 256 or self.force_pippenger:
             # Pippenger bucket MSMs (sort + prefix-scan; ops/msm.py); with a
             # mesh, each MSM's lane axis is sharded across the devices.
@@ -198,15 +223,17 @@ class ProverContext:
                                              nb, mesh=mh)
             b1_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.b_g1_query,
                                               z_plain, nb, mesh=mh)
-            b2_dev = msm.msm_pippenger_device(ec.G2_OPS, pk.b_g2_query,
-                                              z_plain, nb, mesh=mh)
+            if not host_b2:
+                b2_dev = msm.msm_pippenger_device(ec.G2_OPS, pk.b_g2_query,
+                                                  z_plain, nb, mesh=mh)
             c_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.c_query,
                                              priv_plain, nb, mesh=mh)
             h_dev = msm.msm_pippenger_device(ec.G1_OPS, pk.h_query, h_plain,
                                              254, mesh=mh)
             a_pts = msm.msm_to_host_affine(ec.G1_OPS, a_dev, k)
             b1_pts = msm.msm_to_host_affine(ec.G1_OPS, b1_dev, k)
-            b2_pts = msm.msm_to_host_affine(ec.G2_OPS, b2_dev, k)
+            if not host_b2:
+                b2_pts = msm.msm_to_host_affine(ec.G2_OPS, b2_dev, k)
             c_pts = msm.msm_to_host_affine(ec.G1_OPS, c_dev, k)
             h_pts = msm.msm_to_host_affine(ec.G1_OPS, h_dev, k)
         else:
@@ -226,7 +253,8 @@ class ProverContext:
                 fused = True
                 aq, b1q, cq, hq = (shard_jac(q, self.mesh)
                                    for q in (aq, b1q, cq, hq))
-                b2q = shard_jac(b2q, self.mesh)
+                if not host_b2:
+                    b2q = shard_jac(b2q, self.mesh)
             z_bits = ec.scalars_to_bits(Fr, z_plain, nb)
             priv_bits = ec.scalars_to_bits(Fr, priv_plain, nb)
             h_bits = ec.scalars_to_bits(Fr, h_plain, 254)
@@ -241,15 +269,17 @@ class ProverContext:
                                           fused=fused)
             b1_msm = ec.msm_double_and_add(ec.G1_OPS, b1q, z_bits, nb,
                                            fused=fused)
-            b2_msm = ec.msm_double_and_add(ec.G2_OPS, b2q, z_bits, nb,
-                                           fused=fused)
+            if not host_b2:
+                b2_msm = ec.msm_double_and_add(ec.G2_OPS, b2q, z_bits, nb,
+                                               fused=fused)
             c_msm = ec.msm_double_and_add(ec.G1_OPS, cq, priv_bits, nb,
                                           fused=fused)
             h_msm = ec.msm_double_and_add(ec.G1_OPS, hq, h_bits, 254,
                                           fused=fused)
             a_pts = ec.g1_jac_to_host_affine(Fp, a_msm, host.P)[:k]
             b1_pts = ec.g1_jac_to_host_affine(Fp, b1_msm, host.P)[:k]
-            b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
+            if not host_b2:
+                b2_pts = ec.g2_jac_to_host_affine(Fp, b2_msm, host.P)[:k]
             c_pts = ec.g1_jac_to_host_affine(Fp, c_msm, host.P)[:k]
             h_pts = ec.g1_jac_to_host_affine(Fp, h_msm, host.P)[:k]
 
