@@ -69,3 +69,23 @@ def test_mesh_ladder_proof_verifies(artifacts):
     p = ProverContext(cs, pk, mesh=make_mesh(4)).prove(w)
     assert verify(vk, p, pub)
     assert not verify(vk, p, [(pub[0] + 1) % host.R])
+
+
+def test_sharded_h_pipeline_bitexact(artifacts):
+    """The mesh H-pipeline (reduce-scattered COO matvec + hypercube-exchange
+    NTT stages) must produce bit-identical quotient limbs to the
+    single-device pipeline — same arithmetic, same order, only grouped into
+    cross-device and local parts (SURVEY §2.6 NTT stage sharding)."""
+    import numpy as np
+
+    cs, pk, vk = artifacts
+    w, _ = _witness(cs, x=11)
+    ctx1 = ProverContext(cs, pk)
+    ctx8 = ProverContext(cs, pk, mesh=make_mesh(8))
+    assert ctx8._h_sharded is not None, \
+        "tiny-circuit domain must tile the 8-device mesh"
+    z_mont, _, _ = ctx1._witnesses_to_device([w])
+    h1 = np.asarray(ctx1.compute_h_batch(z_mont))
+    h8 = np.asarray(ctx8.compute_h_batch(z_mont))
+    assert h1.shape == h8.shape
+    assert (h1 == h8).all()

@@ -100,8 +100,85 @@ class ProverContext:
                 jnp.asarray(np.asarray(cols, dtype=np.int32)),
                 Fr.to_device(coeffs),
             ))
+        self._h_sharded = self._build_sharded_h(mesh) if mesh is not None \
+            else None
 
     # ---- device kernels ----
+
+    def _build_sharded_h(self, mesh):
+        """Mesh-sharded quotient pipeline (SURVEY §2.6: NTT butterfly-stage
+        exchange + constraint-eval data parallelism — the distribution layer
+        the reference lacks; its FFTs in gnark-crypto/snarkjs never shard).
+
+        - sparse A/B/C eval: COO entries block-sharded over the mesh, each
+          device segment-sums its block into full rows, one reduce-scatter
+          (`psum_scatter`) lands the row sums already lane-sharded.
+        - NTTs: ops/ntt_sharded.ShardedNTT — hypercube `ppermute` exchanges
+          for the wide butterfly stages, block-local stages otherwise.
+
+        Bit-identical to the single-device `_h_core` (same arithmetic, same
+        order; the lazy u32 limb sums stay < 2^32 because each limb < 2^16
+        and rows have < 2^16 terms TOTAL across devices). Returns None when
+        the domain doesn't tile the mesh."""
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.ntt_sharded import ShardedNTT
+        from ..parallel.mesh import SHARD_AXIS
+
+        D = int(mesh.devices.size)
+        n = self.ntt.n
+        if n % D != 0 or (n // D) < 2:
+            return None
+        sntt = ShardedNTT(self.ntt, mesh)
+        lane = NamedSharding(mesh, P(None, SHARD_AXIS))
+        ent = NamedSharding(mesh, P(SHARD_AXIS))
+
+        self._mats_sharded = []
+        for rows, cols, coeffs in self._mats:
+            nnz = int(rows.shape[0])
+            pad = (-nnz) % D
+            # padded entries are inert: coeff 0 contributes nothing to row 0
+            self._mats_sharded.append((
+                jax.device_put(jnp.pad(rows, (0, pad)), ent),
+                jax.device_put(jnp.pad(cols, (0, pad)), ent),
+                jax.device_put(jnp.pad(coeffs, ((0, 0), (0, pad))), lane),
+            ))
+
+        F = Fr
+
+        def matvec_body(rows_blk, cols_blk, coeffs_blk, z_full):
+            gathered = z_full[:, cols_blk]
+            prod = F.mont_mul(gathered, coeffs_blk)
+            sums = jax.ops.segment_sum(prod.T, rows_blk, num_segments=n).T
+            sums = jax.lax.psum_scatter(sums, SHARD_AXIS,
+                                        scatter_dimension=1, tiled=True)
+            norm = F.normalize_u32_limbs([sums[j] for j in range(F.L)])
+            plain = F.mont_reduce_wide(norm)
+            return F.to_mont(plain)
+
+        matvec_sh = jax.jit(shard_map(
+            matvec_body, mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(None, SHARD_AXIS),
+                      P(None, None)),
+            out_specs=P(None, SHARD_AXIS), check_vma=False))
+
+        zinv_int = pow(self.ntt.z_coset_int, -1, host.R)
+
+        def h_core_sharded(z_mont_1):
+            az = matvec_sh(*self._mats_sharded[0], z_mont_1)
+            bz = matvec_sh(*self._mats_sharded[1], z_mont_1)
+            cz = matvec_sh(*self._mats_sharded[2], z_mont_1)
+            a_cs = sntt.coset_evals_from_coeffs_br(sntt.dif_inverse(az))
+            b_cs = sntt.coset_evals_from_coeffs_br(sntt.dif_inverse(bz))
+            c_cs = sntt.coset_evals_from_coeffs_br(sntt.dif_inverse(cz))
+            num = Fr.sub(Fr.mont_mul(a_cs, b_cs), c_cs)
+            zinv = Fr.broadcast_const(zinv_int, (n,))
+            h_cs = Fr.mont_mul(num, zinv)
+            h_br = sntt.coeffs_br_from_coset_evals(h_cs)
+            return Fr.from_mont(h_br)
+
+        return h_core_sharded
 
     def _matvec(self, mat, z_mont):
         """<M, z> per constraint row: returns [L, domain_n] Montgomery evals."""
@@ -113,25 +190,6 @@ class ProverContext:
         norm = Fr.normalize_u32_limbs([sums[j] for j in range(Fr.L)])
         plain = Fr.mont_reduce_wide(norm)              # drops one R factor
         return Fr.to_mont(plain)                       # restore Montgomery
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def _h_pipeline(self, z_mont, mats):
-        """Entire quotient computation as ONE compiled program: per-dispatch
-        latency on the remote TPU runtime is ~15-30 ms, so every eager-level
-        call boundary in the hot path costs more than the math."""
-        az = self._matvec(mats[0], z_mont)
-        bz = self._matvec(mats[1], z_mont)
-        cz = self._matvec(mats[2], z_mont)
-        ntt = self.ntt
-        a_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(az))
-        b_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(bz))
-        c_cs = ntt.coset_evals_from_coeffs_br(ntt.dif_inverse(cz))
-        num = Fr.sub(Fr.mont_mul(a_cs, b_cs), c_cs)
-        zinv = Fr.broadcast_const(pow(ntt.z_coset_int, -1, host.R), (ntt.n,))
-        h_cs = Fr.mont_mul(num, zinv)
-        h_br = ntt.coeffs_br_from_coset_evals(h_cs)
-        h_plain = Fr.from_mont(h_br)
-        return ec.scalars_to_bits(Fr, h_plain, 254)
 
     def _b2_msm_host(self, witness):
         """sum_i z_i * B2_i on host Jacobian bigints (tiny circuits only —
@@ -174,12 +232,6 @@ class ProverContext:
         z_mont = Fr.to_mont(z_plain)
         z_bits = ec.scalars_to_bits(Fr, z_plain, n_bits)
         return z_mont, z_bits, n_bits
-
-    def compute_h_bits(self, z_mont):
-        """Quotient polynomial h = (A.z * B.z - C.z) / Z_H on the coset;
-        returns scalar bits [254, domain_n] in bit-reversed coefficient order
-        (matching the bit-reversed h_query layout)."""
-        return self._h_pipeline(z_mont, self._mats)
 
     def prove(self, witness: np.ndarray, rng=None) -> Proof:
         """witness: full wire-value vector [n_wires] (ints)."""
@@ -373,4 +425,11 @@ class ProverContext:
         return Fr.from_mont(h_br)
 
     def compute_h_batch(self, z_mont):
+        if self._h_sharded is not None:
+            # mesh path: constraint eval + NTT stages sharded over the
+            # devices (reduce-scatter + hypercube exchanges); per-proof loop
+            # since k is small and each call reuses the same compiled
+            # programs
+            return jnp.stack([self._h_sharded(z_mont[:, j])
+                              for j in range(z_mont.shape[1])], axis=1)
         return self._h_pipeline_batch(z_mont, self._mats)

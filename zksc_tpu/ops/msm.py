@@ -368,7 +368,7 @@ def _window_sums_sharded(fops, points: JacPoint, digits, c: int, k: int,
     — embarrassingly parallel, near-linear scaling, no collectives on the
     hot path."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     D = mesh.devices.size

@@ -41,7 +41,7 @@ class ShardedNTT:
     shard_map bodies close over nothing device-placed."""
 
     def __init__(self, ntt, mesh):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.ntt = ntt
@@ -129,10 +129,10 @@ class ShardedNTT:
         spec = P(None, SHARD_AXIS)
         self._dif_inverse_f = jax.jit(shard_map(
             dif_inv_body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-            check_rep=False))
+            check_vma=False))
         self._dit_forward_f = jax.jit(shard_map(
             dit_fwd_body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-            check_rep=False))
+            check_vma=False))
 
     def dif_inverse(self, evals):
         """evals (natural order, lane-sharded) -> coeffs (bit-reversed,
