@@ -102,3 +102,38 @@ def test_logger_and_trace_span(capsys, monkeypatch):
     err = capsys.readouterr().err
     rec = json.loads(err.strip().splitlines()[-1])
     assert rec["span"] == "unit-span" and "seconds" in rec
+
+
+def test_artifacts_cli_publish_roundtrip(tmp_path):
+    """publish zips tree+manifest; download --from-dir of the unzipped tree
+    reproduces it byte-for-byte (script parity: js/src/scripts)."""
+    import json
+    import sys
+    import zipfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import artifacts_cli
+
+    root = tmp_path / "artifacts"
+    (root / "groth16").mkdir(parents=True)
+    (root / "groth16" / "vk.json").write_bytes(b'{"vk": 1}')
+    (root / "stark").mkdir()
+    (root / "stark" / "params.bin").write_bytes(b"\x00\x01\x02")
+
+    out = tmp_path / "release.zip"
+    manifest = artifacts_cli.publish(str(root), str(out))
+    assert set(manifest) == {"groth16", "stark"}
+
+    unpacked = tmp_path / "unpacked"
+    with zipfile.ZipFile(out) as z:
+        z.extractall(unpacked)
+    shipped = json.loads((unpacked / "manifest.json").read_text())
+    assert shipped == manifest
+    # mirror from the unpacked release with hash verification
+    rc = artifacts_cli.main([
+        "download", "--manifest", str(unpacked / "manifest.json"),
+        "--dest", str(tmp_path / "mirror"), "--from-dir", str(unpacked)])
+    assert rc == 0
+    assert (tmp_path / "mirror" / "groth16" / "vk.json").read_bytes() \
+        == b'{"vk": 1}'

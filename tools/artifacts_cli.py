@@ -11,12 +11,14 @@ Usage:
   python tools/artifacts_cli.py manifest ARTIFACT_DIR [-o manifest.json]
   python tools/artifacts_cli.py download --manifest manifest.json \
       --dest DIR (--base-url URL | --from-dir DIR)
+  python tools/artifacts_cli.py publish ARTIFACT_DIR -o release.zip
 """
 import argparse
 import hashlib
 import json
 import os
 import sys
+import zipfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
@@ -44,6 +46,21 @@ def build_manifest(root: str) -> dict:
     return manifest
 
 
+def publish(root: str, out_path: str) -> dict:
+    """Package an artifact tree + its pinned manifest into one release zip
+    (the shape js/src/scripts/download-files.ts:25-56 unpacks: engine-dir
+    entries plus a manifest.json whose hashes pin every member)."""
+    manifest = build_manifest(root)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("manifest.json",
+                   json.dumps(manifest, indent=2, sort_keys=True) + "\n")
+        for engine, files in manifest.items():
+            for name in files:
+                z.write(os.path.join(root, engine, name),
+                        arcname=f"{engine}/{name}")
+    return manifest
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -57,7 +74,18 @@ def main(argv=None):
     src = d.add_mutually_exclusive_group(required=True)
     src.add_argument("--base-url")
     src.add_argument("--from-dir")
+    p = sub.add_parser("publish", help="zip an artifact tree + manifest "
+                                       "into a release archive")
+    p.add_argument("root")
+    p.add_argument("-o", "--out", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd == "publish":
+        manifest = publish(args.root, args.out)
+        n = sum(len(f) for f in manifest.values())
+        print(f"published {n} files ({', '.join(sorted(manifest))}) "
+              f"-> {args.out}")
+        return 0
 
     if args.cmd == "manifest":
         manifest = build_manifest(args.root)
