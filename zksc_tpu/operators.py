@@ -165,13 +165,20 @@ class Groth16Operator:
         independent per-chunk proof, as in the reference's parallel bench)."""
         self._ensure_keys()
         check = os.environ.get("ZKSC_CHECK_WITNESS", "0") == "1"
-        witnesses = []
-        for wi in wis:
-            witness = self.spec.build_witness(wi)
-            if check and not check_witness(self.spec.cs, witness[:, None]):
-                raise ValueError("witness does not satisfy the circuit "
-                                 "(wrong key or corrupted inputs?)")
-            witnesses.append(witness)
+        if len(wis) > 1:
+            # independent per-chunk witness builds; the native tape executor
+            # releases the GIL during its ctypes call, so threads overlap the
+            # host-side witness work across the batch
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(wis))) as ex:
+                witnesses = list(ex.map(self.spec.build_witness, wis))
+        else:
+            witnesses = [self.spec.build_witness(wis[0])]
+        if check:
+            for witness in witnesses:
+                if not check_witness(self.spec.cs, witness[:, None]):
+                    raise ValueError("witness does not satisfy the circuit "
+                                     "(wrong key or corrupted inputs?)")
         proofs = self._ctx.prove_batch(witnesses)
         return [p.to_json_dict() for p in proofs]
 
