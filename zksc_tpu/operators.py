@@ -228,7 +228,9 @@ class StarkOperator:
             from .stark import aes_prover as ap
             proof = ap.prove_aes_ctr(wi.key, nonce, counter0,
                                      wi.plaintext, wi.ciphertext)
-        return proof.to_json_dict()
+        # base64-bincode envelope (reference wire shape, wasm_api.rs:588-601);
+        # verify() also accepts the expanded JSON form via from_json_dict
+        return proof.to_envelope()
 
     def prove_batch(self, wis: list) -> list:
         return [self.prove(wi) for wi in wis]

@@ -121,10 +121,19 @@ class AesProof:
             "rows2": rows(self.openings2), "rows2s": rows(self.openings2s),
         }
 
+    def to_envelope(self) -> dict:
+        """Compact wire form: base64(bincode) payload, the reference's exact
+        envelope shape (stwo wasm_api.rs:588-601)."""
+        from ..interop.bincode import aes_proof_envelope
+        return aes_proof_envelope(self)
+
     @classmethod
     def from_json_dict(cls, d: dict) -> "AesProof":
         import base64
         from .fri import FriLayerOpening
+        if "proof" in d:       # base64-bincode envelope
+            from ..interop.bincode import decode_aes_proof
+            return decode_aes_proof(base64.b64decode(d["proof"]))
         ub = base64.b64decode
         s = d["statement"]
         stmt = AesStatement(

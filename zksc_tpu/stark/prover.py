@@ -123,10 +123,19 @@ class StreamProof:
             } for o in self.openings],
         }
 
+    def to_envelope(self) -> dict:
+        """Compact wire form: base64(bincode) payload, the reference's exact
+        envelope shape (stwo wasm_api.rs:588-601)."""
+        from ..interop.bincode import stream_proof_envelope
+        return stream_proof_envelope(self)
+
     @classmethod
     def from_json_dict(cls, d: dict) -> "StreamProof":
         import base64
         from .fri import FriLayerOpening
+        if "proof" in d:       # base64-bincode envelope
+            from ..interop.bincode import decode_stream_proof
+            return decode_stream_proof(base64.b64decode(d["proof"]))
         ub = base64.b64decode
         s = d["statement"]
         stmt = StreamStatement(
