@@ -7,11 +7,16 @@
 // floats, no SIMD) with the four `runtime.*` host imports the calculator
 // expects. Exposed to Python via ctypes (see interop/circom_wasm.py).
 //
-// Supported: i32/i64 full integer op set, loads/stores, block/loop/if/else,
-// br/br_if/br_table, call/call_indirect, select, locals, globals, memory
-// size/grow, active data segments, funcref tables + elem segments.
-// Traps (OOB access, unreachable, div-by-zero, runtime.exceptionHandler)
-// abort the call and surface a nonzero error code.
+// Supported: i32/i64 full integer op set, the f64 subset rustc emits for
+// wasm-bindgen glue, loads/stores, block/loop/if/else (incl. type-index
+// blocktypes with params/results), br/br_if/br_table, call/call_indirect,
+// multi-value function returns, select, locals, globals, memory size/grow,
+// active data segments, funcref tables + elem segments, and the
+// wasm-bindgen host imports (__wbindgen_throw, __wbindgen_init_externref_
+// table) — enough to run both circom calculators and the reference's
+// wasm-bindgen stwo module. Traps (OOB access, unreachable, div-by-zero,
+// runtime.exceptionHandler) abort the call and surface a nonzero code.
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -58,6 +63,7 @@ struct Module {
   // runtime state
   int trap = 0;                // 0 = ok
   uint32_t exception_code = 0; // from runtime.exceptionHandler
+  std::string trap_msg;        // from __wbindgen_throw
 };
 
 struct Reader {
@@ -169,7 +175,10 @@ class VM {
     std::vector<Val> stack;
     stack.reserve(64);
     if (!run(f, locals, stack)) return false;
-    if (!ft.results.empty()) *ret = stack.empty() ? 0 : stack.back();
+    size_t nr = ft.results.size();
+    for (size_t i = 0; i < nr; i++)
+      ret[i] = (i < stack.size())
+                   ? stack[stack.size() - nr + i] : 0;
     return true;
   }
 
@@ -184,8 +193,20 @@ class VM {
       m_.trap = 100 + (int)(uint32_t)args[0];
       return false;
     }
-    // printErrorMessage / writeBufferMessage / showSharedRWMemory: no-ops
-    // (messages are retrievable post-hoc via the exported getMessageChar)
+    // wasm-bindgen: __wbg___wbindgen_throw_<hash>(ptr, len) raises a JS
+    // Error with a utf-8 message in linear memory
+    if (name.find("__wbindgen_throw") != std::string::npos) {
+      uint32_t p = (uint32_t)args[0], l = (uint32_t)args[1];
+      if ((uint64_t)p + l <= m_.mem.size() && l < 4096)
+        m_.trap_msg.assign((const char*)&m_.mem[p], l);
+      m_.trap = 99;
+      return false;
+    }
+    // __wbindgen_init_externref_table: the externref table only carries JS
+    // values for the glue's own bookkeeping; nothing we execute reads it
+    // (no table.get/set opcodes in the module), so init is a no-op.
+    // circom: printErrorMessage / writeBufferMessage / showSharedRWMemory
+    // are no-ops (messages retrievable via the exported getMessageChar).
     return true;
   }
 
@@ -194,7 +215,15 @@ class VM {
     return false;
   }
 
-  static uint8_t block_arity(int64_t bt) { return bt == -64 ? 0 : 1; }
+  // blocktype: -64 = void, other negative = one valtype, >=0 = type index
+  uint8_t block_arity(int64_t bt) const {
+    if (bt == -64) return 0;
+    if (bt < 0) return 1;
+    return (uint8_t)m_.types[(size_t)bt].results.size();
+  }
+  uint8_t block_params(int64_t bt) const {
+    return bt >= 0 ? (uint8_t)m_.types[(size_t)bt].params.size() : 0;
+  }
 
   bool run(const Func& f, std::vector<Val>& locals, std::vector<Val>& stack) {
     if (++depth_ > 2048) { --depth_; return trap(3); }
@@ -213,19 +242,24 @@ class VM {
         case 0x02: {                               // block
           int64_t bt = r.sleb();
           labels.push_back({f.blocks.at(pc).end_pc + 1,
-                            (uint32_t)stack.size(), block_arity(bt), false});
+                            (uint32_t)(stack.size() - block_params(bt)),
+                            block_arity(bt), false});
           break;
         }
         case 0x03: {                               // loop
-          r.sleb();
-          labels.push_back({(uint32_t)r.o, (uint32_t)stack.size(), 0, true});
+          int64_t bt = r.sleb();
+          // br to a loop re-enters with the loop's PARAMS on the stack
+          labels.push_back({(uint32_t)r.o,
+                            (uint32_t)(stack.size() - block_params(bt)),
+                            block_params(bt), true});
           break;
         }
         case 0x04: {                               // if
           int64_t bt = r.sleb();
           uint32_t c = (uint32_t)stack.back(); stack.pop_back();
           const Block& b = f.blocks.at(pc);
-          labels.push_back({b.end_pc + 1, (uint32_t)stack.size(),
+          labels.push_back({b.end_pc + 1,
+                            (uint32_t)(stack.size() - block_params(bt)),
                             block_arity(bt), false});
           if (!c) {
             if (b.else_pc) r.o = b.else_pc + 1;
@@ -309,6 +343,16 @@ class VM {
         }
         case 0x41: PUSH((uint32_t)(int32_t)r.sleb()); break;  // i32.const
         case 0x42: PUSH((uint64_t)r.sleb()); break;           // i64.const
+        case 0x43: {                                          // f32.const
+          uint32_t v = 0;
+          for (int i = 0; i < 4; i++) v |= (uint32_t)r.u8() << (8 * i);
+          PUSH(v); break;
+        }
+        case 0x44: {                                          // f64.const
+          uint64_t v = 0;
+          for (int i = 0; i < 8; i++) v |= (uint64_t)r.u8() << (8 * i);
+          PUSH(v); break;
+        }
         default:
           if (op >= 0x28 && op <= 0x3e) {
             if (!memop(op, r, stack)) { --depth_; return false; }
@@ -331,6 +375,18 @@ class VM {
               uint32_t d = (uint32_t)stack.back(); stack.pop_back();
               if ((uint64_t)d + n > m_.mem.size()) { --depth_; return trap(2); }
               memset(&m_.mem[d], (int)(uint8_t)v, n);
+            } else if (sub == 2 || sub == 3) {     // i32.trunc_sat_f64_s/u
+              double a; { Val v = stack.back(); stack.pop_back();
+                          memcpy(&a, &v, 8); }
+              if (sub == 2) {
+                int32_t r2 = a != a ? 0 : a <= -2147483648.0 ? INT32_MIN :
+                             a >= 2147483647.0 ? INT32_MAX : (int32_t)a;
+                stack.push_back((uint32_t)r2);
+              } else {
+                uint32_t r2 = (a != a || a <= 0.0) ? 0 :
+                              a >= 4294967295.0 ? UINT32_MAX : (uint32_t)a;
+                stack.push_back(r2);
+              }
             } else { --depth_; return trap(6); }
           } else { --depth_; return trap(6); }     // unsupported opcode
       }
@@ -342,14 +398,13 @@ class VM {
 
   bool invoke(uint32_t fi, std::vector<Val>& stack) {
     const FuncType& ft = m_.types[m_.funcs[fi].type];
-    size_t np = ft.params.size();
-    Val args[16];
-    if (np > 16) return trap(8);
+    size_t np = ft.params.size(), nr = ft.results.size();
+    Val args[16], rets[8] = {0};
+    if (np > 16 || nr > 8) return trap(8);
     for (size_t i = 0; i < np; i++) args[i] = stack[stack.size() - np + i];
     stack.resize(stack.size() - np);
-    Val ret = 0;
-    if (!call(fi, args, &ret)) return false;
-    if (!ft.results.empty()) stack.push_back(ret);
+    if (!call(fi, args, rets)) return false;
+    for (size_t i = 0; i < nr; i++) stack.push_back(rets[i]);
     return true;
   }
 
@@ -359,10 +414,13 @@ class VM {
     size_t li = labels.size() - 1 - d;
     if (li == 0) { labels.clear(); return true; }  // br to function frame
     Label L = labels[li];
-    uint8_t arity = L.is_loop ? 0 : L.arity;
-    Val kept = arity ? stack.back() : 0;
+    uint8_t arity = L.arity;                       // loop: params, else results
+    Val kept[8];
+    if (arity > 8 || arity > stack.size()) return trap(9);
+    for (uint8_t i = 0; i < arity; i++)
+      kept[i] = stack[stack.size() - arity + i];
     stack.resize(L.height);
-    if (arity) stack.push_back(kept);
+    for (uint8_t i = 0; i < arity; i++) stack.push_back(kept[i]);
     r.o = L.target;
     labels.resize(L.is_loop ? li + 1 : li);
     return true;
@@ -384,8 +442,11 @@ class VM {
     switch (op) {
       case 0x28: if ((a = addr(4, false, 0)) == UINT64_MAX) return trap(2);
         { uint32_t v; memcpy(&v, &mem[a], 4); stack.push_back(v); } break;
-      case 0x29: if ((a = addr(8, false, 0)) == UINT64_MAX) return trap(2);
+      case 0x29: case 0x2b:                        // i64.load / f64.load
+        if ((a = addr(8, false, 0)) == UINT64_MAX) return trap(2);
         { uint64_t v; memcpy(&v, &mem[a], 8); stack.push_back(v); } break;
+      case 0x2a: if ((a = addr(4, false, 0)) == UINT64_MAX) return trap(2);
+        { uint32_t v; memcpy(&v, &mem[a], 4); stack.push_back(v); } break;
       case 0x2c: if ((a = addr(1, false, 0)) == UINT64_MAX) return trap(2);
         stack.push_back((uint32_t)(int32_t)(int8_t)mem[a]); break;
       case 0x2d: if ((a = addr(1, false, 0)) == UINT64_MAX) return trap(2);
@@ -412,8 +473,11 @@ class VM {
           stack.push_back((uint64_t)v); } break;
       case 0x36: if ((a = addr(4, true, &sv)) == UINT64_MAX) return trap(2);
         { uint32_t v = (uint32_t)sv; memcpy(&mem[a], &v, 4); } break;
-      case 0x37: if ((a = addr(8, true, &sv)) == UINT64_MAX) return trap(2);
+      case 0x37: case 0x39:                        // i64.store / f64.store
+        if ((a = addr(8, true, &sv)) == UINT64_MAX) return trap(2);
         memcpy(&mem[a], &sv, 8); break;
+      case 0x38: if ((a = addr(4, true, &sv)) == UINT64_MAX) return trap(2);
+        { uint32_t v = (uint32_t)sv; memcpy(&mem[a], &v, 4); } break;
       case 0x3a: if ((a = addr(1, true, &sv)) == UINT64_MAX) return trap(2);
         mem[a] = (uint8_t)sv; break;
       case 0x3b: if ((a = addr(2, true, &sv)) == UINT64_MAX) return trap(2);
@@ -522,6 +586,51 @@ class VM {
       case 0x88: BIN64(a >> (b & 63));
       case 0x89: BIN64((a << (b & 63)) | (a >> ((64 - b) & 63)));
       case 0x8a: BIN64((a >> (b & 63)) | (a << ((64 - b) & 63)));
+      // f64 subset (bit patterns live in the uint64 Vals)
+      case 0x61: case 0x62: case 0x63: case 0x64: case 0x65: case 0x66: {
+        double b, a;
+        { uint64_t vb = pop(), va = pop();
+          memcpy(&b, &vb, 8); memcpy(&a, &va, 8); }
+        bool r2 = op == 0x61 ? a == b : op == 0x62 ? a != b :
+                  op == 0x63 ? a < b : op == 0x64 ? a > b :
+                  op == 0x65 ? a <= b : a >= b;
+        stack.push_back((uint32_t)r2); break;
+      }
+      case 0x99: case 0x9a: case 0x9b: case 0x9c: case 0x9d: case 0x9e:
+      case 0x9f: {
+        double a; { uint64_t v = pop(); memcpy(&a, &v, 8); }
+        double r2 = op == 0x99 ? std::fabs(a) : op == 0x9a ? -a :
+                    op == 0x9b ? std::ceil(a) : op == 0x9c ? std::floor(a) :
+                    op == 0x9d ? std::trunc(a) : op == 0x9e ?
+                    std::nearbyint(a) : std::sqrt(a);
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xa0: case 0xa1: case 0xa2: case 0xa3: case 0xa4: case 0xa5: {
+        double b, a;
+        { uint64_t vb = pop(), va = pop();
+          memcpy(&b, &vb, 8); memcpy(&a, &va, 8); }
+        double r2 = op == 0xa0 ? a + b : op == 0xa1 ? a - b :
+                    op == 0xa2 ? a * b : op == 0xa3 ? a / b :
+                    op == 0xa4 ? std::fmin(a, b) : std::fmax(a, b);
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xb7: {                                 // f64.convert_i32_s
+        double r2 = (double)(int32_t)(uint32_t)pop();
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xb8: {                                 // f64.convert_i32_u
+        double r2 = (double)(uint32_t)pop();
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xb9: {                                 // f64.convert_i64_s
+        double r2 = (double)(int64_t)pop();
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xba: {                                 // f64.convert_i64_u
+        double r2 = (double)pop();
+        uint64_t v; memcpy(&v, &r2, 8); stack.push_back(v); break;
+      }
+      case 0xbd: case 0xbf: break;                 // reinterpret: identity
       case 0xa7: stack.back() = (uint32_t)stack.back(); break;  // wrap
       case 0xac: stack.back() =                                // extend_s
         (uint64_t)(int64_t)(int32_t)(uint32_t)stack.back(); break;
@@ -711,30 +820,59 @@ void* wvm_load(const uint8_t* bytes, uint64_t n) {
 
 void wvm_free(void* h) { delete (Module*)h; }
 
-// Returns 0 on success; -1 unknown export; -2 arity mismatch; >0 trap code
-// (100+code = circom exceptionHandler with that code).
-int wvm_call(void* h, const char* name, const uint64_t* args, int nargs,
-             uint64_t* ret) {
+// Multi-value call: writes up to nret results into ret, returns the result
+// count (>= 0) on success; -1 unknown export; -2 arity mismatch; -3 ret too
+// small; -(1000 + code) on a trap (code 99 = wasm-bindgen throw, 100+c =
+// circom exceptionHandler with code c).
+int wvm_call_multi(void* h, const char* name, const uint64_t* args, int nargs,
+                   uint64_t* ret, int nret) {
   Module* m = (Module*)h;
   auto it = m->exports.find(name);
   if (it == m->exports.end() || it->second.kind != 0) return -1;
   const FuncType& ft = m->types[m->funcs[it->second.idx].type];
   if ((int)ft.params.size() != nargs) return -2;
+  if ((int)ft.results.size() > nret) return -3;
   m->trap = 0;
+  m->trap_msg.clear();
   VM vm(*m);
-  Val r = 0;
-  if (!vm.call(it->second.idx, args, &r)) return m->trap ? m->trap : 1;
-  if (ret) *ret = r;
+  Val rs[8] = {0};
+  if (!vm.call(it->second.idx, args, rs))
+    return -(1000 + (m->trap ? m->trap : 1));
+  for (size_t i = 0; i < ft.results.size(); i++) ret[i] = rs[i];
+  return (int)ft.results.size();
+}
+
+// Single-result convenience wrapper (the circom calculator protocol).
+// Returns 0 on success; -1/-2 as above; >0 trap code (legacy contract).
+int wvm_call(void* h, const char* name, const uint64_t* args, int nargs,
+             uint64_t* ret) {
+  uint64_t rs[8] = {0};
+  int rc = wvm_call_multi(h, name, args, nargs, rs, 8);
+  if (rc <= -1000) return -rc - 1000;
+  if (rc < 0) return rc;
+  if (rc > 0 && ret) *ret = rs[0];
   return 0;
 }
 
 uint32_t wvm_exception_code(void* h) { return ((Module*)h)->exception_code; }
+
+// Last __wbindgen_throw message (empty if none); valid until the next call.
+const char* wvm_trap_message(void* h) {
+  return ((Module*)h)->trap_msg.c_str();
+}
 
 // Direct linear-memory access (bounds-checked) for bulk I/O.
 int wvm_read_mem(void* h, uint32_t addr, uint8_t* out, uint32_t n) {
   Module* m = (Module*)h;
   if ((uint64_t)addr + n > m->mem.size()) return -1;
   memcpy(out, &m->mem[addr], n);
+  return 0;
+}
+
+int wvm_write_mem(void* h, uint32_t addr, const uint8_t* src, uint32_t n) {
+  Module* m = (Module*)h;
+  if ((uint64_t)addr + n > m->mem.size()) return -1;
+  memcpy(&m->mem[addr], src, n);
   return 0;
 }
 
