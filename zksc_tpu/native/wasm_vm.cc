@@ -399,8 +399,8 @@ class VM {
   bool invoke(uint32_t fi, std::vector<Val>& stack) {
     const FuncType& ft = m_.types[m_.funcs[fi].type];
     size_t np = ft.params.size(), nr = ft.results.size();
-    Val args[64], rets[8] = {0};
-    if (np > 64 || nr > 8) return trap(8);
+    Val args[128], rets[8] = {0};
+    if (np > 128 || nr > 8) return trap(8);
     for (size_t i = 0; i < np; i++) args[i] = stack[stack.size() - np + i];
     stack.resize(stack.size() - np);
     if (!call(fi, args, rets)) return false;
