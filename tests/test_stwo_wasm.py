@@ -70,3 +70,16 @@ def test_reference_rejects_wrong_witness(stwo):
     res = stwo.generate_chacha20_proof(key, nonce, 1, pt,
                                        secrets.token_bytes(128))
     assert not res.get("success", False)
+
+
+@pytest.mark.skipif(os.environ.get("ZKSC_RUN_SLOW") != "1",
+                    reason="AES stwo prove is ~2 min interpreted")
+def test_reference_aes128_prove_verify(stwo):
+    from zksc_tpu.ops.ciphers import aes_ctr_encrypt
+    key, nonce = secrets.token_bytes(16), secrets.token_bytes(12)
+    pt = secrets.token_bytes(80)
+    ct = aes_ctr_encrypt(key, nonce, 2, pt)
+    res = stwo.generate_aes_ctr_proof(16, key, nonce, 2, pt, ct)
+    assert res.get("success"), res
+    v = stwo.verify_aes_ctr_proof(res["proof"], nonce, 2, pt, ct)
+    assert v.get("valid") is True, v
