@@ -42,7 +42,7 @@ def test_envelope_dispatch(stream_proof):
     proof, (nonce, counter0, pt, ct) = stream_proof
     env = proof.to_envelope()
     assert env["protocol"] == "circle-stark"
-    assert env["proofSizeBytes"] == len(base64.b64decode(env["proof"]))
+    assert env["proof_size_bytes"] == len(base64.b64decode(env["proof"]))
     p2 = sp.StreamProof.from_json_dict(env)           # envelope form
     assert sp.verify_stream(p2, nonce, counter0, pt, ct)
     p3 = sp.StreamProof.from_json_dict(proof.to_json_dict())  # expanded form

@@ -49,6 +49,23 @@ def test_chacha20_witness_matches_native_cipher():
     assert w[1:1025] == _chacha_bits(pt)
 
 
+def test_repeated_calculations_on_cached_calculator():
+    """circom_runtime re-issues init(sanityCheck) per calculation; a cached
+    calculator must therefore support back-to-back witness computations
+    (regression: second call used to fail with 'Too many signals set')."""
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    wc = _calc("chacha20")
+    for _ in range(2):
+        key, nonce = secrets.token_bytes(32), secrets.token_bytes(12)
+        pt = secrets.token_bytes(128)
+        ct = chacha20_encrypt(key, nonce, 1, pt)
+        w = wc.calculate_witness({
+            "key": _chacha_bits(key), "nonce": _chacha_bits(nonce),
+            "counter": [(1 >> (31 - j)) & 1 for j in range(32)],
+            "in": _chacha_bits(ct)})
+        assert w[1:1025] == _chacha_bits(pt)
+
+
 def test_aes128_witness_matches_native_cipher():
     from zksc_tpu.ops.ciphers import aes_ctr_encrypt
     wc = _calc("aes-128-ctr")

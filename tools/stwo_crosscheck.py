@@ -77,7 +77,7 @@ def main():
         report["our_valid"] = sp.verify_stream(ours, nonce, counter0, pt, ct)
         report["our_verify_s"] = round(time.time() - t0, 2)
         env = ours.to_envelope()
-        report["our_proof_bytes"] = env["proofSizeBytes"]
+        report["our_proof_bytes"] = env["proof_size_bytes"]
     else:
         from zksc_tpu.stark import aes_prover as ap_
         t0 = time.time()
@@ -87,7 +87,7 @@ def main():
         report["our_valid"] = ap_.verify_aes_ctr(ours, nonce, counter0,
                                                  pt, ct, len(key))
         report["our_verify_s"] = round(time.time() - t0, 2)
-        report["our_proof_bytes"] = ours.to_envelope()["proofSizeBytes"]
+        report["our_proof_bytes"] = ours.to_envelope()["proof_size_bytes"]
 
     # both must accept honest inputs; both must reject a tampered ct
     bad = bytearray(ct)

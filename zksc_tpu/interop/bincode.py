@@ -23,8 +23,11 @@ Struct schemas (field order = encode order):
   AesProof        { stmt, root1: [u8;32], root2: [u8;32], fri,
                     openings1/1s/2/2s: Vec<TraceOpening> }
 
-The JSON envelope carrying the payload is {"protocol", "proof": base64,
-"proofSizeBytes"} — the same three-field shape the reference returns.
+The JSON envelope carrying the payload uses the reference's keys
+{"success", "blocks", "algorithm", "proof": base64, "proof_size_bytes"}
+(stwo wasm_api.rs:595-601), plus a "protocol" key of our own for dispatch.
+Like the reference, the 8 MB DoS cap is enforced on the *base64* length
+(wasm_api.rs:617) before decoding.
 """
 from __future__ import annotations
 
@@ -254,22 +257,32 @@ def decode_aes_proof(data: bytes):
 def stream_proof_envelope(proof) -> dict:
     import base64
     raw = encode_stream_proof(proof)
-    return {"protocol": "circle-stark", "proof": base64.b64encode(raw).decode(),
-            "proofSizeBytes": len(raw)}
+    return {"success": True, "blocks": int(proof.stmt.n_blocks),
+            "algorithm": "chacha20", "protocol": "circle-stark",
+            "proof": base64.b64encode(raw).decode(),
+            "proof_size_bytes": len(raw)}
 
 
 def aes_proof_envelope(proof) -> dict:
     import base64
     raw = encode_aes_proof(proof)
-    return {"protocol": "circle-stark-aes",
+    alg = "aes-128-ctr" if proof.stmt.key_size == 16 else "aes-256-ctr"
+    return {"success": True, "blocks": int(proof.stmt.n_blocks),
+            "algorithm": alg, "protocol": "circle-stark-aes",
             "proof": base64.b64encode(raw).decode(),
-            "proofSizeBytes": len(raw)}
+            "proof_size_bytes": len(raw)}
 
 
 def proof_from_envelope(d: dict):
-    """Decode a {"protocol", "proof": base64} envelope to the proof object."""
+    """Decode a reference-keyed envelope ({"algorithm", "proof": base64, ...})
+    to the proof object. The 8 MB cap applies to the base64 text, matching
+    the reference (wasm_api.rs:617)."""
     import base64
-    raw = base64.b64decode(d["proof"])
-    if d.get("protocol") == "circle-stark-aes":
+    b64 = d["proof"]
+    if len(b64) > _MAX_PROOF_BYTES:
+        raise ValueError("proof exceeds the 8 MB cap")
+    raw = base64.b64decode(b64)
+    if (d.get("protocol") == "circle-stark-aes"
+            or str(d.get("algorithm", "")).startswith("aes")):
         return decode_aes_proof(raw)
     return decode_stream_proof(raw)

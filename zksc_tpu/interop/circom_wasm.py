@@ -98,9 +98,13 @@ class WitnessCalculator:
         if self.version != 2:
             raise CircomWasmError(
                 f"unsupported witness calculator version {self.version}")
+        self._sanity = sanity_check
         self.n32 = self._call("getFieldNumLen32")
         self._call("getRawPrime")
         self.prime = self._read_fr()
+        # NB: init(sanityCheck) is re-issued at the start of EVERY
+        # calculate_witness (circom_runtime semantics) — it resets the
+        # input-signal state, so cached calculators can be reused.
         self._call("init", 1 if sanity_check else 0)
         self.n_witness = self._call("getWitnessSize")
         self.n_inputs = self._call("getInputSize")
@@ -118,6 +122,10 @@ class WitnessCalculator:
                                 ctypes.byref(ret))
         if rc == -1:
             raise CircomWasmError(f"unknown export {name!r}")
+        if rc in (-2, -3):
+            raise CircomWasmError(
+                f"{name}: arity/result-count mismatch (rc {rc}, "
+                f"passed {len(args)} args)")
         if rc != 0:
             code = self._lib.wvm_exception_code(self._h)
             msg = _ERRORS.get(code, f"trap {rc}")
@@ -153,6 +161,11 @@ class WitnessCalculator:
     def calculate_witness(self, inputs: dict) -> list:
         """inputs: {signal_name: int | [int, ...] (flattened array)} ->
         witness values as python ints (w[0] == 1)."""
+        # circom_runtime calls init(sanityCheck) at the start of every
+        # calculation — it resets input-signal state; without it a second
+        # calculation on a cached calculator fails with "Too many signals
+        # set (code 2)".
+        self._call("init", 1 if self._sanity else 0)
         n_set = 0
         for name, vals in inputs.items():
             if isinstance(vals, (int,)):

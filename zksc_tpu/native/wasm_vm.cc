@@ -430,6 +430,9 @@ class VM {
     r.uleb();                                      // align
     uint64_t off = r.uleb();
     auto& mem = m_.mem;
+    // memarg offsets are u32 in wasm32; a larger encoded value could make
+    // (u32)addr + off wrap u64 and bypass the bounds check below.
+    if (off > UINT32_MAX) off = UINT64_MAX >> 8;   // forces the trap path
     auto addr = [&](size_t width, bool store, Val* sv) -> uint64_t {
       Val v = 0;
       if (store) { v = stack.back(); stack.pop_back(); }
@@ -687,6 +690,7 @@ Module* parse(const uint8_t* bytes, size_t n) {
         for (uint64_t i = 0; i < cnt; i++) {
           uint64_t ml = s.uleb(); s.skip(ml);
           uint64_t nl = s.uleb();
+          if (nl > s.n - s.o || s.fail) { delete m; return nullptr; }
           std::string name((const char*)s.d + s.o, nl); s.skip(nl);
           uint8_t kind = s.u8();
           if (kind == 0) {
@@ -734,6 +738,7 @@ Module* parse(const uint8_t* bytes, size_t n) {
         uint64_t cnt = s.uleb();
         for (uint64_t i = 0; i < cnt; i++) {
           uint64_t nl = s.uleb();
+          if (nl > s.n - s.o || s.fail) { delete m; return nullptr; }
           std::string name((const char*)s.d + s.o, nl); s.skip(nl);
           uint8_t kind = s.u8();
           uint32_t idx = (uint32_t)s.uleb();
@@ -750,6 +755,7 @@ Module* parse(const uint8_t* bytes, size_t n) {
           uint32_t base = (uint32_t)(int32_t)s.sleb();
           s.u8();  // end
           uint64_t k = s.uleb();
+          if (k > s.n - s.o || s.fail) { delete m; return nullptr; }
           if (m->table.size() < base + k)
             m->table.resize(base + k, UINT32_MAX);
           for (uint64_t j = 0; j < k; j++)
@@ -769,7 +775,8 @@ Module* parse(const uint8_t* bytes, size_t n) {
           uint32_t base = (uint32_t)(int32_t)s.sleb();
           s.u8();  // end
           uint64_t k = s.uleb();
-          if ((uint64_t)base + k > ((uint64_t)m->mem_pages << 16)) {
+          if (k > s.n - s.o || s.fail ||
+              (uint64_t)base + k > ((uint64_t)m->mem_pages << 16)) {
             delete m; return nullptr;
           }
           if (m->mem.size() < ((size_t)m->mem_pages << 16))
