@@ -1,0 +1,78 @@
+"""Bit-exact stwo interop: codec round-trip + Fiat-Shamir channel replica.
+
+Fixtures are REFERENCE-generated proofs (deterministic output of
+`generate_chacha20_proof` in resources/stwo/s2circuits_bg.wasm for
+key=bytes(range(32)), nonce=bytes(range(12)), counter=1,
+pt[i]=(i*7+3)&0xFF over 64 bytes (ls4) / pt[i]=(i*11+5)&0xFF over
+64*17 bytes (ls5)).
+"""
+import gzip
+import os
+import struct
+
+import pytest
+
+_FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(name):
+    with gzip.open(os.path.join(_FIX, name), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module", params=["ls4", "ls5"])
+def ref_proof(request):
+    return _load(f"stwo_ref_proof_chacha_{request.param}.bin.gz")
+
+
+def test_codec_roundtrip_byte_exact(ref_proof):
+    from zksc_tpu.stark.stwo_compat import (decode_stream_proof,
+                                            encode_stream_proof)
+    p = decode_stream_proof(ref_proof)
+    assert p.pow_bits == 10 and p.log_blowup == 1 and p.n_queries == 3
+    assert len(p.commitments) == 3
+    assert len(p.sampled_values[1]) == 33280     # trace columns
+    assert len(p.sampled_values[2]) == 8         # composition tree
+    assert encode_stream_proof(p) == ref_proof
+
+
+def test_channel_replica_pow_oracle(ref_proof):
+    """Replay the verifier's full mix chain; the reference proof's grind
+    nonce must satisfy the pow bound under our channel replica (each proof
+    gives a 2^-pow_bits false-positive bound; two fixtures => 2^-20)."""
+    from zksc_tpu.stark.stwo_compat import decode_stream_proof
+    from zksc_tpu.stark.stwo_compat.channel import Blake2sChannel
+    p = decode_stream_proof(ref_proof)
+    ch = Blake2sChannel()
+    ch.mix_root(p.commitments[0])
+    ch.mix_u64(p.log_size)
+    for i in range(3):
+        ch.mix_u64(struct.unpack_from("<I", p.nonce, 4 * i)[0])
+    ch.mix_u64(p.counter)
+    for i in range(8):
+        ch.mix_u64(struct.unpack_from("<I", p.pt_hash, 4 * i)[0])
+    for i in range(8):
+        ch.mix_u64(struct.unpack_from("<I", p.ct_hash, 4 * i)[0])
+    ch.mix_root(p.commitments[1])
+    ch.draw_felt()                       # random_coeff
+    ch.mix_root(p.commitments[2])
+    ch.draw_felt()                       # OODS
+    ch.mix_felts([q for t in p.sampled_values for c in t for q in c])
+    ch.draw_felt()                       # quotient coeff
+    ch.mix_root(p.first_layer.commitment)
+    ch.draw_felt()
+    for l in p.inner_layers:
+        ch.mix_root(l.commitment)
+        ch.draw_felt()
+    ch.mix_felts(p.last_layer_coeffs)
+    assert ch.check_pow(p.pow_bits, p.proof_of_work)
+
+
+def test_channel_draw_shapes():
+    from zksc_tpu.stark.stwo_compat.channel import Blake2sChannel, P
+    ch = Blake2sChannel()
+    ch.mix_u64(7)
+    f = ch.draw_felt()
+    assert len(f) == 4 and all(0 <= x < P for x in f)
+    fs = ch.draw_felts(5)
+    assert len(fs) == 5

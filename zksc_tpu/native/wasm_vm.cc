@@ -64,6 +64,13 @@ struct Module {
   int trap = 0;                // 0 = ok
   uint32_t exception_code = 0; // from runtime.exceptionHandler
   std::string trap_msg;        // from __wbindgen_throw
+  // call tracing (wvm_trace_*): function index -> what to record per call
+  struct TraceSpec {
+    int ptr_arg; int len_arg; uint32_t fixed_len;
+    int ptr_arg2 = -1; uint32_t fixed_len2 = 0;   // optional second region
+  };
+  std::unordered_map<uint32_t, TraceSpec> trace_specs;
+  std::vector<uint8_t> trace_log;
 };
 
 struct Reader {
@@ -169,6 +176,7 @@ class VM {
     if (m_.trap) return false;
     const Func& f = m_.funcs[fidx];
     const FuncType& ft = m_.types[f.type];
+    if (!m_.trace_specs.empty()) trace_hook(fidx, args, ft.params.size());
     if (f.code == nullptr) return host_call(fidx, args, ret);
     std::vector<Val> locals(ft.params.size() + f.nlocals, 0);
     for (size_t i = 0; i < ft.params.size(); i++) locals[i] = args[i];
@@ -185,6 +193,43 @@ class VM {
  private:
   Module& m_;
   int depth_ = 0;
+
+  // Record one call of a traced function: u32 fi, u32 nargs, u64 args[],
+  // u32 dump_len, dump bytes (linear memory at args[ptr_arg]). Used by the
+  // interop layer to observe e.g. hash-compression inputs inside the
+  // reference modules (reverse-engineering aid; off unless specs are set).
+  void trace_hook(uint32_t fidx, const Val* args, size_t nargs) {
+    auto it = m_.trace_specs.find(fidx);
+    if (it == m_.trace_specs.end()) return;
+    if (m_.trace_log.size() > (1u << 30)) return;      // 1 GiB safety cap
+    const auto& sp = it->second;
+    auto& L = m_.trace_log;
+    auto put32 = [&](uint32_t v) {
+      for (int i = 0; i < 4; i++) L.push_back((v >> (8 * i)) & 0xFF);
+    };
+    auto put64 = [&](uint64_t v) {
+      for (int i = 0; i < 8; i++) L.push_back((v >> (8 * i)) & 0xFF);
+    };
+    put32(fidx);
+    put32((uint32_t)nargs);
+    for (size_t i = 0; i < nargs; i++) put64(args[i]);
+    auto dump = [&](int ptr_arg, int len_arg, uint32_t fixed_len) {
+      uint64_t dump_len = 0, base = 0;
+      if (ptr_arg >= 0 && (size_t)ptr_arg < nargs) {
+        base = (uint32_t)args[ptr_arg];
+        dump_len = (len_arg >= 0 && (size_t)len_arg < nargs)
+                       ? (uint64_t)(uint32_t)args[len_arg] : fixed_len;
+        if (base >= m_.mem.size()) dump_len = 0;
+        else if (base + dump_len > m_.mem.size())
+          dump_len = m_.mem.size() - base;
+        if (dump_len > (1u << 24)) dump_len = 1u << 24;
+      }
+      put32((uint32_t)dump_len);
+      for (uint64_t i = 0; i < dump_len; i++) L.push_back(m_.mem[base + i]);
+    };
+    dump(sp.ptr_arg, sp.len_arg, sp.fixed_len);
+    dump(sp.ptr_arg2, -1, sp.fixed_len2);
+  }
 
   bool host_call(uint32_t fidx, const Val* args, Val*) {
     const std::string& name = m_.import_names[fidx];
@@ -882,5 +927,65 @@ int wvm_write_mem(void* h, uint32_t addr, const uint8_t* src, uint32_t n) {
   memcpy(&m->mem[addr], src, n);
   return 0;
 }
+
+// ---- call tracing (reverse-engineering aid; see Frame::trace_hook) ----
+
+// Trace calls to function `fi`; dump linear memory at args[ptr_arg] with
+// length args[len_arg] (or fixed_len when len_arg < 0). ptr_arg < 0 = no dump.
+int wvm_trace_add(void* h, uint32_t fi, int ptr_arg, int len_arg,
+                  uint32_t fixed_len) {
+  Module* m = (Module*)h;
+  if (fi >= m->funcs.size()) return -1;
+  m->trace_specs[fi] = {ptr_arg, len_arg, fixed_len};
+  return 0;
+}
+
+// Like wvm_trace_add but records a second fixed-length region at args[p2]
+// per call (each record then carries two length-prefixed dumps).
+int wvm_trace_add2(void* h, uint32_t fi, int ptr_arg, int len_arg,
+                   uint32_t fixed_len, int p2, uint32_t fixed_len2) {
+  Module* m = (Module*)h;
+  if (fi >= m->funcs.size()) return -1;
+  m->trace_specs[fi] = {ptr_arg, len_arg, fixed_len, p2, fixed_len2};
+  return 0;
+}
+
+void wvm_trace_clear(void* h) {
+  Module* m = (Module*)h;
+  m->trace_specs.clear();
+  m->trace_log.clear();
+}
+
+uint64_t wvm_trace_size(void* h) { return ((Module*)h)->trace_log.size(); }
+
+// Copy up to cap bytes of the trace log into out; returns bytes copied and
+// clears the log.
+uint64_t wvm_trace_copy(void* h, uint8_t* out, uint64_t cap) {
+  Module* m = (Module*)h;
+  uint64_t n = m->trace_log.size();
+  if (n > cap) n = cap;
+  if (n) memcpy(out, m->trace_log.data(), n);
+  m->trace_log.clear();
+  return n;
+}
+
+// Find defined functions whose body contains the exact byte pattern `pat`
+// (e.g. an encoded i32.const). Writes up to cap indices; returns count.
+int wvm_find_funcs_with_bytes(void* h, const uint8_t* pat, uint32_t patlen,
+                              uint32_t* out, int cap) {
+  Module* m = (Module*)h;
+  int k = 0;
+  for (uint32_t fi = 0; fi < m->funcs.size() && k < cap; fi++) {
+    const Func& f = m->funcs[fi];
+    if (!f.code || f.len < patlen) continue;
+    for (uint64_t o = 0; o + patlen <= f.len; o++) {
+      if (memcmp(f.code + o, pat, patlen) == 0) { out[k++] = fi; break; }
+    }
+  }
+  return k;
+}
+
+// Number of functions (imports + defined) — for enumerating trace targets.
+uint32_t wvm_n_funcs(void* h) { return (uint32_t)((Module*)h)->funcs.size(); }
 
 }  // extern "C"
