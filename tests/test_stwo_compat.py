@@ -76,3 +76,42 @@ def test_channel_draw_shapes():
     assert len(f) == 4 and all(0 <= x < P for x in f)
     fs = ch.draw_felts(5)
     assert len(fs) == 5
+
+
+_PT = {
+    "ls4": bytes((i * 7 + 3) & 0xFF for i in range(64)),
+    "ls5": bytes((i * 11 + 5) & 0xFF for i in range(64 * 17)),
+}
+
+
+@pytest.mark.parametrize("tag", ["ls4", "ls5"])
+def test_structural_verify_reference_proof(tag):
+    """Our replica verifier (channel, queries, lifted Merkle, quotients,
+    FRI folds, pow) accepts the reference proof; tampering with queried
+    values, fri witness, or the pow nonce is rejected."""
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    from zksc_tpu.stark.stwo_compat import decode_stream_proof
+    from zksc_tpu.stark.stwo_compat.verifier import verify_stream_proof
+    raw = _load(f"stwo_ref_proof_chacha_{tag}.bin.gz")
+    key, nonce, counter = bytes(range(32)), bytes(range(12)), 1
+    pt = _PT[tag]
+    ct = chacha20_encrypt(key, nonce, counter, pt)
+    p = decode_stream_proof(raw)
+    assert verify_stream_proof(p, nonce, counter, pt, ct)
+    # wrong ciphertext binding
+    bad = bytearray(ct)
+    bad[0] ^= 1
+    assert not verify_stream_proof(p, nonce, counter, pt, bytes(bad))
+    # tampered queried value
+    p2 = decode_stream_proof(raw)
+    p2.queried_values[1][5][0] ^= 1
+    assert not verify_stream_proof(p2, nonce, counter, pt, ct)
+    # tampered fri witness
+    p3 = decode_stream_proof(raw)
+    p3.first_layer.fri_witness[0] = tuple(
+        (x + 1) % ((1 << 31) - 1) for x in p3.first_layer.fri_witness[0])
+    assert not verify_stream_proof(p3, nonce, counter, pt, ct)
+    # tampered pow
+    p4 = decode_stream_proof(raw)
+    p4.proof_of_work ^= 1
+    assert not verify_stream_proof(p4, nonce, counter, pt, ct)
