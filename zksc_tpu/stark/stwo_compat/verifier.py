@@ -36,9 +36,34 @@ def draw_query_positions(ch: Blake2sChannel, log_domain: int,
     return sorted(set(out))
 
 
+def default_air_eval(p: StwoStreamProof, P, random_coeff) -> bool:
+    """OODS composition consistency: the chacha AIR constraints evaluated
+    at the OODS point on the sampled trace values, accumulated with
+    random_coeff and divided by the trace-domain vanishing pi^(log-1)(x),
+    must equal the composition reconstruction sum_i u_i*(g_i + lam_i*V)."""
+    from .air import accumulate, evaluate_constraints
+    trace_samples = [tuple(c[0]) for c in p.sampled_values[1]]
+    comp_samples = [tuple(c[0]) for c in p.sampled_values[2]]
+    acc = accumulate(evaluate_constraints(trace_samples), random_coeff)
+    Px = P[0]
+    V = Px
+    for _ in range(p.log_size - 1):
+        V = F.sub(F.add(F.mul(V, V), F.mul(V, V)), F.ONE)
+    lhs = F.mul(acc, F.inv(V))
+    units = (F.ONE, (0, 1, 0, 0), (0, 0, 1, 0), (0, 0, 0, 1))
+    rhs = F.ZERO
+    for i in range(4):
+        lam = comp_samples[4 + i]
+        if lam[1] or lam[2] or lam[3]:
+            return False                 # lambda columns must be M31
+        coord = F.add(comp_samples[i], F.mul_m31(V, lam[0]))
+        rhs = F.add(rhs, F.mul(units[i], coord))
+    return lhs == rhs
+
+
 def verify_stream_proof(proof: StwoStreamProof, nonce: bytes, counter: int,
                         plaintext: bytes, ciphertext: bytes,
-                        air_eval=None, min_pow_bits: int = 10,
+                        air_eval=default_air_eval, min_pow_bits: int = 10,
                         min_blowup: int = 1, min_queries: int = 3) -> bool:
     p = proof
     # --- config floor + public input binding (air_stream.rs:291-359) ---
@@ -122,7 +147,7 @@ def verify_stream_proof(proof: StwoStreamProof, nonce: bytes, counter: int,
 
 def verify_stream_proof_bytes(raw: bytes, nonce: bytes, counter: int,
                               plaintext: bytes, ciphertext: bytes,
-                              air_eval=None) -> bool:
+                              air_eval=default_air_eval) -> bool:
     try:
         p = decode_stream_proof(raw)
     except (ValueError, IndexError, struct.error):
