@@ -160,3 +160,36 @@ def test_sigma_perm_is_single_cycle():
             seen.add(cur)
             cur = int(perm[cur])
         assert cur == 0 and len(seen) == m
+
+
+def test_prove_verify_roundtrip_aes256():
+    """aes-256 full prove/verify + negatives (stwo/README.md:204-209
+    tests both key sizes; closes the aes256-untested gap)."""
+    key = bytes(range(32))
+    nonce = bytes(reversed(range(12)))
+    counter0 = 2
+    pt = bytes((i * 3 + 1) & 0xFF for i in range(80))
+    ct = ciphers.aes_ctr_encrypt(key, nonce, counter0, pt)
+    proof = aes_prover.prove_aes_ctr(key, nonce, counter0, pt, ct)
+    assert proof.stmt.key_size == 32
+    assert aes_prover.verify_aes_ctr(proof, nonce, counter0, pt, ct, 32)
+
+    # wrong-key-size verification must fail
+    assert not aes_prover.verify_aes_ctr(proof, nonce, counter0, pt, ct, 16)
+    # tampered publics must fail
+    bad_ct = bytearray(ct)
+    bad_ct[7] ^= 0x10
+    assert not aes_prover.verify_aes_ctr(proof, nonce, counter0, pt,
+                                         bytes(bad_ct), 32)
+    bad_pt = bytearray(pt)
+    bad_pt[79] ^= 1
+    assert not aes_prover.verify_aes_ctr(proof, nonce, counter0,
+                                         bytes(bad_pt), ct, 32)
+    assert not aes_prover.verify_aes_ctr(proof, nonce, counter0 + 1, pt,
+                                         ct, 32)
+    # envelope round-trip
+    from zksc_tpu.interop.bincode import proof_from_envelope
+    env = proof.to_envelope()
+    assert env["algorithm"] == "aes-256-ctr"
+    p2 = proof_from_envelope(env)
+    assert aes_prover.verify_aes_ctr(p2, nonce, counter0, pt, ct, 32)
