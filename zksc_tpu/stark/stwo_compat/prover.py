@@ -23,16 +23,8 @@ from .fri import (LineDomainIter, fold_circle_pair, fold_line_pair,
                   qm31_leaf)
 from .merkle import EMPTY_ROOT, decommit as merkle_decommit
 from .quotients import oods_point
-from .trace import (LdeContext, basis_eval_qm31, generate_stream_trace,
+from .trace import (basis_eval_qm31, generate_stream_trace,
                     generate_trace_row)
-
-_LDE_CACHE: dict = {}
-
-
-def _ctx(log_size: int) -> LdeContext:
-    if log_size not in _LDE_CACHE:
-        _LDE_CACHE[log_size] = LdeContext(log_size)
-    return _LDE_CACHE[log_size]
 
 
 def _commit_leaves(leaves: list) -> tuple:
@@ -103,9 +95,9 @@ def prove_stream(key: bytes, nonce: bytes, counter: int, plaintext: bytes,
     if not valid:
         raise ValueError("ciphertext does not match encryption")
 
-    ctx = _ctx(log_size)
-    lde = ctx.lde(trace.astype(object))          # [2n, 33280] object
-    lde_i = lde.astype(np.int64)
+    from . import cfft
+    trace_coeffs = cfft.interpolate(trace)
+    lde_i = cfft.evaluate(trace_coeffs, log_size + log_blowup)
     n2 = 2 * n
 
     pt_hash = hashlib.blake2s(plaintext).digest()
@@ -143,7 +135,8 @@ def prove_stream(key: bytes, nonce: bytes, counter: int, plaintext: bytes,
         hi, lo = col >> 16, col & 0xFFFF
         s = ((cons.T @ hi) % F.P * (1 << 16) + (cons.T @ lo)) % F.P
         acc.append(s)
-    xs = np.array([ctx.cdom.at(bit_reverse(i, log_size + 1))[0]
+    cdom = CanonicCoset(log_size + log_blowup).circle_domain()
+    xs = np.array([cdom.at(bit_reverse(i, log_size + 1))[0]
                    for i in range(n2)], dtype=np.int64)
     V = np.array([_pi_k_m31(int(x), log_size - 1) for x in xs],
                  dtype=np.int64)
@@ -173,15 +166,12 @@ def prove_stream(key: bytes, nonce: bytes, counter: int, plaintext: bytes,
     P_pt = oods_point(oods_t)
 
     # --- sampled values ---
-    coeffs_trace = ctx.coeffs(trace.astype(object))      # [n, 33280]
     basis_q = basis_eval_qm31(P_pt, log_size)
-    samples_trace = _sample_columns(coeffs_trace, basis_q)
-    g_obj = np.array([[int(g[pos]) for g in gcols] for pos in range(n2)],
-                     dtype=object)
-    ctx2 = _ctx(log_size + 1)
-    coeffs_g = ctx2.coeffs(g_obj)                        # [n2, 4]
+    samples_trace = _sample_columns(trace_coeffs.astype(object), basis_q)
+    g_mat = np.stack(gcols, axis=1)                      # [n2, 4]
+    coeffs_g = cfft.interpolate(g_mat)
     basis_q2 = basis_eval_qm31(P_pt, log_size + 1)
-    samples_g = _sample_columns(coeffs_g, basis_q2)
+    samples_g = _sample_columns(coeffs_g.astype(object), basis_q2)
     samples_lam = [(lam, 0, 0, 0) for lam in lams]
     sampled_flat = samples_trace + samples_g + samples_lam
     ch.mix_felts(sampled_flat)
@@ -208,7 +198,7 @@ def prove_stream(key: bytes, nonce: bytes, counter: int, plaintext: bytes,
          np.stack([c.astype(object) for c in tree2_cols], axis=1)],
         axis=1)                                          # [n2, 33288]
     S = [ (all_cols @ gp_coords[coord]) % F.P for coord in range(4) ]
-    ys = np.array([ctx.cdom.at(bit_reverse(i, log_size + 1))[1]
+    ys = np.array([cdom.at(bit_reverse(i, log_size + 1))[1]
                    for i in range(n2)], dtype=np.int64)
     quot = []
     cy = F.sub(Py, Pcy)
@@ -225,7 +215,7 @@ def prove_stream(key: bytes, nonce: bytes, counter: int, plaintext: bytes,
         quot.append(F.mul(F.mul(num, F.inv(den)), minus2u))
 
     # --- FRI commit phase ---
-    dom = ctx.cdom
+    dom = cdom
     fri_layers = []                  # (values, root, layers, kind)
     leavesF = [qm31_leaf(v) for v in quot]
     rootF, layersF = _commit_leaves(leavesF)
