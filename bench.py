@@ -68,6 +68,15 @@ def main():
         "benchmark proof failed to verify"
     proof_data = envs[-1].proof_data
 
+    # single-proof latency alongside the batch headline (stderr companion
+    # metric; the one-line contract stays the batch throughput)
+    t0 = time.time()
+    single = api.generate_proof(algorithm, key, data, iv)
+    t_single = time.time() - t0
+    assert api.verify_proof(single, data, iv)
+    print(f"# batch-1 latency: {t_single:.2f}s "
+          f"({1.0 / t_single:.2f} proofs/s)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "chacha20_groth16_proofs_per_sec",
         "value": round(proofs_per_sec, 4),

@@ -1,10 +1,14 @@
-"""Default-suite Groth16 e2e on a REAL cipher statement (1-block ChaCha).
+"""Groth16 e2e on a REAL cipher statement (1-block ChaCha, 22,432
+constraints, domain 2^15) with committed artifacts — the smallest full
+witness -> MSM -> NTT -> pairing round-trip on a cipher circuit.
 
-Closes the long-standing gap where plain `pytest` never exercised the full
-witness -> MSM -> NTT -> pairing pipeline on a cipher circuit: a 1-block
-ChaCha20 variant (22,432 constraints, domain 2^15) proves and verifies
-here using committed artifacts (artifacts/chacha20-1block, generated once
-via the same setup as `python -m zksc_tpu.keygen`).
+Slow-gated with regret: XLA:CPU compiles the 2^15 bucket-MSM prover
+shapes for >25 minutes in a fresh process (measured), and the persistent
+CPU compile cache is disabled because executable (de)serialization
+segfaults on the largest EC kernels (see tests/conftest.py). On the TPU
+(where the compile cache works) this test runs in seconds —
+tools/run_matrix_e2e-style runs and bench.py exercise the same pipeline
+there on every round.
 """
 import os
 import secrets
@@ -16,9 +20,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CACHE = os.path.join(_REPO, "artifacts", "chacha20-1block")
 
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(os.path.join(_CACHE, "pk.npz")),
-    reason="chacha20-1block artifacts absent (generate via "
-           "tools/gen_oneblock_artifacts.py)")
+    os.environ.get("ZKSC_RUN_SLOW") != "1"
+    or not os.path.exists(os.path.join(_CACHE, "pk.npz")),
+    reason="XLA:CPU compile of the 2^15 prover shapes exceeds 25 min "
+           "(cache-disabled workaround, see conftest); set ZKSC_RUN_SLOW=1"
+           " or run on TPU")
 
 
 def test_one_block_chacha_groth16_roundtrip():
