@@ -63,13 +63,16 @@ def test_sbox_zero_hint_forgery_rejected(monkeypatch):
         forged_s |= bit << i
     assert forged_s != 0x63
 
+    from zksc_tpu.r1cs.tape import clear_tape_cache
     monkeypatch.setattr(ac, "_sbox_hint", forged_hint)
+    clear_tape_cache()      # tapes capture hint callables at build time
     pub = {"x": [[0]] * 8, "s": [[(forged_s >> i) & 1] for i in range(8)]}
     w = generate_witness(define, pub_l, [], pub, {}, batch=1)
     assert not check_witness(cs, w)
 
     # and the honest witness (real hint) still satisfies
     monkeypatch.undo()
+    clear_tape_cache()
     pub_ok = {"x": [[0]] * 8, "s": [[(0x63 >> i) & 1] for i in range(8)]}
     w_ok = generate_witness(define, pub_l, [], pub_ok, {}, batch=1)
     assert check_witness(cs, w_ok)

@@ -229,11 +229,20 @@ class TapeBuilder:
 _TAPE_CACHE: dict = {}
 
 
+def clear_tape_cache():
+    """Invalidate compiled witness tapes. Needed after monkeypatching any
+    hint function a circuit references — tapes capture hint callables at
+    build time (tests do this; production circuits never re-bind hints)."""
+    _TAPE_CACHE.clear()
+
+
 def build_tape(define_fn, public_layout, private_layout,
                input_bound: int = 1) -> Tape | None:
     """Compile the circuit's witness computation to a Tape, or None if the
     interval analysis rejects it (caller falls back to Python)."""
-    key = (id(define_fn), tuple(public_layout), tuple(private_layout))
+    # key on the function OBJECT (not id()): holds a reference so a GC'd
+    # define_fn's recycled id cannot alias a different circuit's tape
+    key = (define_fn, tuple(public_layout), tuple(private_layout))
     if key in _TAPE_CACHE:
         return _TAPE_CACHE[key]
     try:
