@@ -162,6 +162,12 @@ def test_our_proof_random_inputs_roundtrip():
     ct = chacha20_encrypt(key, nonce, 5, pt)
     raw = prove_stream_bytes(key, nonce, 5, pt, ct)
     assert verify_stream_proof_bytes(raw, nonce, 5, pt, ct)
+    # a log-6 statement exercises a different FRI layer count (the
+    # reference verifier also accepts these — checked out-of-band)
+    pt6 = secrets.token_bytes(64 * 40)
+    ct6 = chacha20_encrypt(key, nonce, 9, pt6)
+    raw6 = prove_stream_bytes(key, nonce, 9, pt6, ct6)
+    assert verify_stream_proof_bytes(raw6, nonce, 9, pt6, ct6)
     bad = bytearray(ct)
     bad[17] ^= 0x40
     assert not verify_stream_proof_bytes(raw, nonce, 5, pt, bytes(bad))

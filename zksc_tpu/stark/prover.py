@@ -53,7 +53,14 @@ FRI_LOG_BLOWUP = 2      # accepted support = M / 4
 # while q < N. (Indices >= 2N drop the factor — observed to break
 # divisibility, not hypothesized.)
 MIN_LOG_ROWS = 6
-MAX_LOG_ROWS = 20       # DoS bound (parity: stwo MAX_LOG_SIZE for lanes)
+# DoS / memory bound. The reference allows log_size 24 (air_stream.rs:176,
+# 16M blocks) because its trace is 33280 bit-columns materialized lane-wise
+# in Rust; our trace (u32 column matrix + blowup-4 LDE + zk blinding slots)
+# costs ~trace_cols * 4 B * 2^(log+2) — at 2^20 rows that is ~100 GB HBM
+# pressure streamed in column tiles, the practical ceiling measured on a
+# single v5e chip. Raising toward 24 needs the planned column-tiled
+# streaming commit (ROADMAP perf item 5).
+MAX_LOG_ROWS = 20
 CHANNEL_SEED = b"zksc-tpu-stark-chacha-v1"
 
 
