@@ -68,21 +68,24 @@ def main():
         "benchmark proof failed to verify"
     proof_data = envs[-1].proof_data
 
-    # single-proof latency alongside the batch headline (stderr companion
-    # metric; the one-line contract stays the batch throughput)
-    t0 = time.time()
-    single = api.generate_proof(algorithm, key, data, iv)
-    t_single = time.time() - t0
-    assert api.verify_proof(single, data, iv)
-    print(f"# batch-1 latency: {t_single:.2f}s "
-          f"({1.0 / t_single:.2f} proofs/s)", file=sys.stderr)
-
     print(json.dumps({
         "metric": "chacha20_groth16_proofs_per_sec",
         "value": round(proofs_per_sec, 4),
         "unit": "proofs/s (128B chunk, BN254 Groth16, 1 chip)",
         "vs_baseline": round(proofs_per_sec / SNARKJS_CPU_BASELINE, 2),
-    }))
+    }), flush=True)
+
+    # single-proof latency companion (stderr, AFTER the contract line so a
+    # driver timeout can't lose the headline; the k=1 graphs compile on
+    # first use — measured 0.71 s / 1.40 proofs/s warm on v5e-1)
+    if os.environ.get("ZKSC_BENCH_SINGLE", "1") == "1":
+        single = api.generate_proof(algorithm, key, data, iv)  # warm k=1
+        t0 = time.time()
+        single = api.generate_proof(algorithm, key, data, iv)
+        t_single = time.time() - t0
+        assert api.verify_proof(single, data, iv)
+        print(f"# batch-1 latency: {t_single:.2f}s "
+              f"({1.0 / t_single:.2f} proofs/s)", file=sys.stderr)
 
 
 if __name__ == "__main__":

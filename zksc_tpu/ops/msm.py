@@ -63,9 +63,12 @@ def _jp2(fops, fn, P: JacPoint, Q: JacPoint) -> JacPoint:
                     fops.lane_map2(fn, P.z, Q.z))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def scalars_to_digits(scalars_plain, c: int, n_windows: int):
     """Non-Montgomery 16-bit limbs uint32[L, *batch] -> digits
-    uint32[n_windows, *batch], digit w = scalar bits [w*c, (w+1)*c)."""
+    uint32[n_windows, *batch], digit w = scalar bits [w*c, (w+1)*c).
+    Jitted: the eager per-window shift/or/and chain costs ~20 remote
+    dispatches (~130 ms for the 254-bit MSM on axon) vs one fused call."""
     assert c <= LIMB_W, "window must fit in two 16-bit limbs"
     L = scalars_plain.shape[0]
     outs = []
